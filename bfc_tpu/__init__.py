@@ -1,0 +1,25 @@
+"""bfc-tpu: a TPU-native Illumina read error-correction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of lh3/bfc
+(reference mounted read-only at /root/reference): two-pass k-mer
+spectrum error correction (blocked-Bloom + count-hash spectrum build,
+then a penalty-minimizing best-first per-read search), k-mer trimming,
+spectrum dump/restore, refine mode, and a drop-in compatible CLI.
+
+Instead of pthreads over spin-locked shared tables, the engine runs
+reads in lockstep batches per chip, builds the spectrum with sort-based
+exact counting (replicating the reference's sequential insert-order
+semantics, including Bloom false-positive promotion), and scales over a
+device mesh by hash-prefix sharding with all-to-all k-mer shuffles.
+"""
+
+import jax
+
+# The k-mer/hash pipeline is 64-bit integer arithmetic end to end; the
+# engine requires x64 (emulated as 32-bit pairs on TPU where needed; the
+# Pallas hot kernels use explicit u32-pair arithmetic).
+jax.config.update("jax_enable_x64", True)
+
+from .opts import Opts  # noqa: E402,F401
+
+__version__ = "0.1.0"
