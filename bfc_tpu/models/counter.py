@@ -1,0 +1,233 @@
+"""Device-resident spectrum build: the TPU counting pass.
+
+Streams FASTQ chunks through the vectorized k-mer pipeline
+(ops.kmer.kmer_stream), maintains a running per-distinct-k-mer
+aggregate via sort/merge (ops.spectrum), and finalizes into the
+reference-exact count table with Bloom first-occurrence adjudication.
+
+Replaces the reference counting pass (/root/reference/count.c:127-157)
+under sequential-order semantics (== bfc -t1).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fastq import read_fastx
+from ..opts import Opts
+from ..ops import kmer as kops
+from ..ops import spectrum as spec
+from ..utils.log import log
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class DeviceSpectrum:
+    """Finalized spectrum: flat lookup table + metadata (device arrays)."""
+
+    def __init__(self, table: spec.Table, k: int, l_pre: int, s_bits: int,
+                 n_entries: int, hist: np.ndarray, hist_high: np.ndarray,
+                 mode: int,
+                 compact: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None):
+        self.table = table
+        self.k = k
+        self.l_pre = l_pre
+        self.kb_bits = kops.keybody_bits(k, l_pre)
+        self.s_bits = s_bits
+        self.n_entries = n_entries
+        self.hist = hist
+        self.hist_high = hist_high
+        self.mode = mode
+        self._compact = compact  # host (shard, keybody, payload) sorted arrays
+
+    def lookup_hash(self, h0, h1):
+        """Batched payload lookup from canonical-hash pairs (u64 arrays)."""
+        q_shard, q_kb = kops.shard_and_keybody(h0, h1, self.k, self.l_pre)
+        return spec.table_lookup(
+            self.table, q_shard, q_kb, self.s_bits, self.l_pre, self.kb_bits
+        )
+
+    # -- host-side helpers (tests, dump) ------------------------------------
+
+    def compact_entries(self):
+        assert self._compact is not None
+        return self._compact
+
+    def dump(self, fn: str) -> None:
+        """Write the bfc -d binary dump format (htab.c:129-146)."""
+        shard, keybody, payload = self.compact_entries()
+        keys = (keybody.astype(np.uint64) << np.uint64(14)) | payload.astype(np.uint64)
+        with open(fn, "wb") as f:
+            f.write(struct.pack("<II", self.k, self.l_pre))
+            counts = np.bincount(shard, minlength=1 << self.l_pre)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            for s in range(1 << self.l_pre):
+                sz = int(counts[s])
+                f.write(struct.pack("<II", _kh_n_buckets(sz), sz))
+                if sz:
+                    f.write(keys[offs[s] : offs[s + 1]].tobytes())
+
+
+def _kh_n_buckets(size: int) -> int:
+    if size == 0:
+        return 0
+    need = int(size / 0.77 + 0.5) + 1
+    n = 4
+    while n < need:
+        n <<= 1
+    return n
+
+
+def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
+                          payload: np.ndarray, k: int, l_pre: int) -> DeviceSpectrum:
+    """Build a DeviceSpectrum from host-sorted compact entries."""
+    n = len(shard)
+    s_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2 + 1))))
+    margin = 4096
+    kb_bits = kops.keybody_bits(k, l_pre)
+    keep = np.ones((n,), bool)
+    table, n_dev, max_slot = spec.build_table(
+        jnp.asarray(shard), jnp.asarray(keybody), jnp.asarray(payload),
+        jnp.asarray(keep), s_bits, margin, l_pre, kb_bits,
+    )
+    assert int(max_slot) <= (1 << s_bits) + margin - 2
+    hist = np.bincount(np.minimum(payload & 0xFF, 255), minlength=256)[:256]
+    hist[0] = 0
+    hist_high = np.bincount((payload >> 8) & 0x3F, minlength=64)[:64]
+    mode = _mode_from_hist(hist)
+    return DeviceSpectrum(table, k, l_pre, s_bits, n, hist, hist_high, mode,
+                          compact=(shard, keybody, payload))
+
+
+def _mode_from_hist(hist: np.ndarray) -> int:
+    best, mode = 0, -1
+    for i in range(3, 256):
+        if hist[i] > best:
+            best, mode = int(hist[i]), i
+    return mode
+
+
+def restore_spectrum(fn: str) -> DeviceSpectrum:
+    """Load a bfc -r dump into a DeviceSpectrum (htab.c:151-176)."""
+    with open(fn, "rb") as f:
+        k, l_pre = struct.unpack("<II", f.read(8))
+        shards: List[np.ndarray] = []
+        sharding: List[np.ndarray] = []
+        for s in range(1 << l_pre):
+            _, sz = struct.unpack("<II", f.read(8))
+            keys = np.frombuffer(f.read(8 * sz), dtype=np.uint64)
+            shards.append(keys)
+            sharding.append(np.full((sz,), s, np.uint32))
+    keys = np.concatenate(shards) if shards else np.zeros((0,), np.uint64)
+    shard = np.concatenate(sharding) if sharding else np.zeros((0,), np.uint32)
+    keybody = keys >> np.uint64(14)
+    payload = (keys & np.uint64(0x3FFF)).astype(np.uint32)
+    order = np.lexsort((keybody, shard))
+    return _spectrum_from_sorted(shard[order], keybody[order], payload[order], k, l_pre)
+
+
+# ---------------------------------------------------------------------------
+# Streaming counting driver
+# ---------------------------------------------------------------------------
+
+def count_stream(
+    read_iter: Iterable[Tuple[str, Optional[str]]],
+    opt: Opts,
+    batch_reads: int = 4096,
+) -> DeviceSpectrum:
+    """Counting pass over (seq, qual) pairs in stream order."""
+    k = opt.k
+    l_pre = opt.effective_l_pre()
+    agg = None
+    agg_cap = 1 << 20
+    arrival_base = 0
+    pending: List[Tuple[str, Optional[str]]] = []
+    n_reads = 0
+
+    def flush(pending):
+        nonlocal agg, agg_cap, arrival_base
+        seqs = [p[0] for p in pending]
+        quals = [p[1] for p in pending]
+        if all(q is None for q in quals):
+            quals = None
+        L = _round_up(max(len(s) for s in seqs), 32)
+        B = _round_up(len(seqs), 256)
+        seqs = seqs + [""] * (B - len(seqs))
+        if quals is not None:
+            quals = quals + [""] * (B - len(quals))
+        bases, qok, lens = kops.encode_batch(seqs, quals, opt.q, pad_to=L)
+        chunk_cap = B * L
+        chunk, _ = spec.chunk_aggregate(
+            jnp.asarray(bases), jnp.asarray(qok), jnp.asarray(lens),
+            jnp.uint64(arrival_base), k, l_pre, chunk_cap,
+        )
+        arrival_base += B * L
+        prev = agg if agg is not None else _empty_agg(1)
+        while True:
+            agg, g2 = spec.merge_aggregates(prev, chunk, agg_cap)
+            if int(g2) <= agg_cap:
+                break
+            # overflow: retry the merge at doubled capacity (inputs intact)
+            agg_cap *= 2
+
+    for seq, qual in read_iter:
+        pending.append((seq, qual))
+        n_reads += 1
+        if len(pending) >= batch_reads:
+            flush(pending)
+            pending = []
+    if pending:
+        flush(pending)
+    if agg is None:
+        agg, _ = spec.merge_aggregates(_empty_agg(1), _empty_agg(1), 16)
+    log(f"processed {n_reads} sequences")
+
+    shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
+        agg, opt.bf_shift, opt.n_hashes
+    )
+    n = int(jnp.sum(keep))
+    s_bits = max(8, int(np.ceil(np.log2(n * 2 + 1))))
+    margin = 4096
+    kb_bits = kops.keybody_bits(k, l_pre)
+    table, n_dev, max_slot = spec.build_table(
+        shard, keybody, payload, keep, s_bits, margin, l_pre, kb_bits
+    )
+    assert int(max_slot) <= (1 << s_bits) + margin - 2, "table displacement overflow"
+    hist = np.asarray(hist)
+    hist_high = np.asarray(hist_high)
+    mode = _mode_from_hist(hist)
+    log(f"# distinct k-mers in table: {n}")
+    # host compact copy for dump/tests
+    keep_np = np.asarray(keep)
+    order = np.argsort(~keep_np, kind="stable")[:n]
+    compact = (
+        np.asarray(shard)[order],
+        np.asarray(keybody)[order],
+        np.asarray(payload)[order].astype(np.uint32),
+    )
+    return DeviceSpectrum(table, k, l_pre, s_bits, n, hist, hist_high, mode,
+                          compact=compact)
+
+
+def _empty_agg(n: int) -> spec.Aggregate:
+    return spec.Aggregate(
+        shard=jnp.full((n,), spec.INVALID_SHARD, jnp.uint32),
+        keybody=jnp.full((n,), (1 << 64) - 1, jnp.uint64),
+        ret=jnp.zeros((n,), jnp.uint64),
+        n=jnp.zeros((n,), jnp.uint32),
+        n_high=jnp.zeros((n,), jnp.uint32),
+        first_arr=jnp.full((n,), (1 << 64) - 1, jnp.uint64),
+        first_high=jnp.zeros((n,), jnp.uint32),
+    )
+
+
+def count_file_device(fn: str, opt: Opts, batch_reads: int = 4096) -> DeviceSpectrum:
+    reads = ((r.seq, r.qual) for r in read_fastx(fn, keep_comment=False))
+    return count_stream(reads, opt, batch_reads=batch_reads)

@@ -1,0 +1,215 @@
+"""Vectorized k-mer encoding and canonical hashing over read batches.
+
+TPU-first reformulation of the reference's per-base rolling loop
+(/root/reference/kmer.h:10-17, count.c:72-89): instead of a sequential
+scan, the k-base window bit-planes at *every* position are materialized
+with a log2(k)-step shifted-OR doubling, so the whole batch is pure
+element-wise u64 vector work with no data-dependent control flow.
+
+Plane convention (kmer.h:6-17): at position i, plane0/plane1 hold the
+low/high bits of the last k forward-strand bases (newest base at bit 0),
+plane2/plane3 the complement bits in reversed order (newest at bit k-1)
+- i.e. plane2/3 equal plane0/1 of the reverse-complement k-mer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U64 = jnp.uint64
+
+
+def _u64(x):
+    return jnp.asarray(x, dtype=U64)
+
+
+def window_pack_backward(bits, k: int):
+    """Pack bits[i-j] into bit j of out[i] for j in [0, k).
+
+    bits: uint64 [..., L] containing 0/1.  Positions i < k-1 contain
+    partial windows (upper bits zero-filled)."""
+    acc = jnp.asarray(bits, dtype=U64)
+    width = 1
+    while width < k:
+        shifted = jnp.roll(acc, width, axis=-1)
+        # zero the wrapped-around columns
+        idx = jnp.arange(acc.shape[-1])
+        shifted = jnp.where(idx >= width, shifted, _u64(0))
+        acc = acc | (shifted << U64(width))
+        width <<= 1
+    return acc & U64((1 << k) - 1)
+
+
+def window_pack_forward(bits, k: int):
+    """Pack bits[i+j] into bit j of out[i] for j in [0, k)."""
+    acc = jnp.asarray(bits, dtype=U64)
+    L = acc.shape[-1]
+    width = 1
+    while width < k:
+        shifted = jnp.roll(acc, -width, axis=-1)
+        idx = jnp.arange(L)
+        shifted = jnp.where(idx < L - width, shifted, _u64(0))
+        acc = acc | (shifted << U64(width))
+        width <<= 1
+    return acc & U64((1 << k) - 1)
+
+
+def kmer_planes(bases, k: int):
+    """All four bit-planes of the k-mer ending at each position.
+
+    bases: uint8 [..., L] with values 0..4 (4 = N/invalid).  Returns
+    (x0, x1, x2, x3) uint64 [..., L]; only positions where the trailing
+    k bases are all valid hold meaningful planes (see valid_kmer_mask).
+    """
+    b = jnp.asarray(bases)
+    lo = (b & 1).astype(U64)
+    hi = ((b >> 1) & 1).astype(U64)
+    x0 = window_pack_backward(lo, k)
+    x1 = window_pack_backward(hi, k)
+    # complement bits, forward-packed then aligned to the window start:
+    # x2[i] = sum_m comp_lo(b[i-k+1+m]) << m = fwd[i-k+1]
+    clo = window_pack_forward((lo ^ 1) & U64(1), k)
+    chi = window_pack_forward((hi ^ 1) & U64(1), k)
+    L = b.shape[-1]
+    idx = jnp.arange(L)
+    x2 = jnp.roll(clo, k - 1, axis=-1)
+    x3 = jnp.roll(chi, k - 1, axis=-1)
+    x2 = jnp.where(idx >= k - 1, x2, _u64(0))
+    x3 = jnp.where(idx >= k - 1, x3, _u64(0))
+    return x0, x1, x2, x3
+
+
+def valid_kmer_mask(bases, lengths, k: int):
+    """True where a full k-mer of ACGT bases ends (count.c:81-88 rolling run).
+
+    bases: uint8 [B, L]; lengths: int32 [B]."""
+    B, L = bases.shape
+    idx = jnp.arange(L)
+    is_n = (bases > 3) | (idx[None, :] >= lengths[:, None])
+    # last invalid position at or before i (exclusive run-length reset)
+    pos_if_n = jnp.where(is_n, idx[None, :], -1)
+    last_n = jax.lax.associative_scan(jnp.maximum, pos_if_n, axis=-1)
+    run = idx[None, :] - last_n
+    return (run >= k) & (idx[None, :] < lengths[:, None])
+
+
+def high_quality_mask(bases, qual_ok, lengths, k: int):
+    """True where the k-mer ending here has all k bases quality-OK.
+
+    Mirrors the qmer mask of count.c:85-86 (N bases reset the window)."""
+    B, L = bases.shape
+    idx = jnp.arange(L)
+    bad = (bases > 3) | ~qual_ok | (idx[None, :] >= lengths[:, None])
+    pos_if_bad = jnp.where(bad, idx[None, :], -1)
+    last_bad = jax.lax.associative_scan(jnp.maximum, pos_if_bad, axis=-1)
+    return idx[None, :] - last_bad >= k
+
+
+def wang_hash(key, mask):
+    """Vectorized invertible Thomas Wang mix under mask (kmer.h:30-40)."""
+    key = (~key + (key << U64(21))) & mask
+    key = key ^ (key >> U64(24))
+    key = (key + (key << U64(3)) + (key << U64(8))) & mask
+    key = key ^ (key >> U64(14))
+    key = (key + (key << U64(2)) + (key << U64(4))) & mask
+    key = key ^ (key >> U64(28))
+    key = (key + (key << U64(31))) & mask
+    return key
+
+
+def canonical_hash(x0, x1, x2, x3, k: int):
+    """Strand-canonical hash of the 4-plane k-mer (kmer.h:79-88).
+
+    Returns (ret_lo64, h0, h1): ret_lo64 is the low 64 bits of the
+    2k-bit Bloom-addressing hash (only the low bf_shift+9 <= 46 bits are
+    ever consumed); h0 = (w0+h1) & mask and h1 key the count table.
+    """
+    mask = U64((1 << k) - 1)
+    t = U64(k >> 1)
+    u = ((x1 >> t) & U64(1)) > ((x3 >> t) & U64(1))
+    a0 = jnp.where(u, x2, x0)
+    a1 = jnp.where(u, x3, x1)
+    w0 = wang_hash((a0 + a1) & mask, mask)
+    h1 = wang_hash(w0 ^ a1, mask)
+    h0 = (w0 + h1) & mask
+    ret = ((w0 ^ h1) << U64(k)) | h0
+    return ret, h0, h1
+
+
+def shard_and_keybody(h0, h1, k: int, l_pre: int):
+    """Split the hash pair into (shard, in-shard identity) - htab.c:45-58.
+
+    l_pre must already be clamped (Opts.effective_l_pre)."""
+    if k <= 32:
+        t = 2 * k - l_pre
+        z = (h0 << U64(k)) | h1
+        return (z >> U64(t)).astype(jnp.uint32), z & U64((1 << t) - 1)
+    t = k - l_pre
+    shift = k if t + k < 50 else 50 - t
+    ident = ((h0 & U64((1 << t) - 1)) << U64(shift)) ^ h1
+    return (h0 >> U64(t)).astype(jnp.uint32), ident
+
+
+def keybody_bits(k: int, l_pre: int) -> int:
+    """Bit-width of the in-shard identity."""
+    if k <= 32:
+        return 2 * k - l_pre
+    t = k - l_pre
+    shift = k if t + k < 50 else 50 - t
+    return t + shift
+
+
+@functools.partial(jax.jit, static_argnames=("k", "l_pre"))
+def kmer_stream(bases, qual_ok, lengths, k: int, l_pre: int):
+    """Full per-position k-mer stream for a read batch.
+
+    Returns dict of [B, L] arrays: valid, is_high, ret, h0, h1, shard,
+    keybody.  Invalid positions hold arbitrary plane data; consumers
+    must mask with `valid`.
+    """
+    x0, x1, x2, x3 = kmer_planes(bases, k)
+    valid = valid_kmer_mask(bases, lengths, k)
+    is_high = high_quality_mask(bases, qual_ok, lengths, k) & valid
+    ret, h0, h1 = canonical_hash(x0, x1, x2, x3, k)
+    shard, keybody = shard_and_keybody(h0, h1, k, l_pre)
+    return dict(
+        valid=valid, is_high=is_high, ret=ret, h0=h0, h1=h1,
+        shard=shard, keybody=keybody,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side encoding
+# ---------------------------------------------------------------------------
+
+_BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _BASE_LUT[_c] = _i
+for _i, _c in enumerate(b"acgt"):
+    _BASE_LUT[_c] = _i
+
+
+def encode_batch(seqs, quals, q_thres: int, pad_to=None):
+    """Encode python reads into padded (bases, qual_ok, lengths) arrays."""
+    B = len(seqs)
+    L = max((len(s) for s in seqs), default=0)
+    if pad_to is not None:
+        L = max(L, pad_to)
+    bases = np.full((B, L), 4, dtype=np.uint8)
+    qok = np.zeros((B, L), dtype=bool)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        n = len(s)
+        lens[i] = n
+        bases[i, :n] = _BASE_LUT[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+        qv = quals[i] if quals is not None else None
+        if qv is None:
+            qok[i, :n] = True
+        else:
+            qarr = np.frombuffer(qv.encode("ascii"), dtype=np.uint8)
+            qok[i, :n] = (qarr.astype(np.int32) - 33) >= q_thres
+    return bases, qok, lens

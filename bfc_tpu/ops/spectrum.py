@@ -1,0 +1,354 @@
+"""Sort-based exact k-mer spectrum build + device lookup table.
+
+TPU-native replacement for the reference's spin-locked Bloom filter +
+sharded count hash (/root/reference/bbf.c, htab.c, count.c:54-70).  The
+reference's insert-order semantics (documented at count.c:9-18) are made
+*deterministic and parallel* by defining them under sequential stream
+order (== `bfc -t1`) and computing them exactly:
+
+  * per distinct k-mer, occurrences 2..n always enter the table
+    (their Bloom probes were set by occurrence 1);
+  * occurrence 1 enters iff all its probe bits were set by strictly
+    earlier-arriving k-mers - a pure function of (probe bits, arrival)
+    resolved with a sort + segmented-min over exploded probe bits,
+    instead of a shared mutable filter.
+
+The count table is a flat, displacement-bounded sorted layout addressed
+by the uniform hash bits (an idiomatic gather-friendly replacement for
+khash open addressing): entries sorted by (shard, keybody) are placed at
+slot = max(ideal, prev_slot+1) via a cumulative max, so lookups gather
+one aligned window and almost always resolve in a single probe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..opts import BFC_BLK_SHIFT
+from . import kmer as kops
+
+U64 = jnp.uint64
+U32 = jnp.uint32
+INVALID_SHARD = jnp.uint32(0xFFFFFFFF)
+
+
+class Aggregate(NamedTuple):
+    """Per-distinct-k-mer partial aggregates (padded; valid where shard != INVALID)."""
+
+    shard: jax.Array      # u32 [C]
+    keybody: jax.Array    # u64 [C]
+    ret: jax.Array        # u64 [C] Bloom-addressing hash (low 64 bits)
+    n: jax.Array          # u32 [C] total occurrences
+    n_high: jax.Array     # u32 [C] high-quality occurrences
+    first_arr: jax.Array  # u64 [C] arrival index of first occurrence
+    first_high: jax.Array  # u32 [C] is_high of the first occurrence
+
+
+def _segment_combine(shard, keybody, ret, n, n_high, first_arr, first_high, cap: int):
+    """Sort entries by (shard, keybody, first_arr) and merge equal keys.
+
+    Entries with shard == INVALID_SHARD are padding and combine to
+    nothing.  Returns an Aggregate of capacity cap (>= #groups)."""
+    N = shard.shape[0]
+    shard, keybody, first_arr, ret, n, n_high, first_high = jax.lax.sort(
+        (shard, keybody, first_arr, ret, n, n_high, first_high), num_keys=3
+    )
+    valid = shard != INVALID_SHARD
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (shard[1:] == shard[:-1]) & (keybody[1:] == keybody[:-1]),
+        ]
+    )
+    first = valid & ~prev_same
+    # compact group-start indices to the front (stable argsort of ~first)
+    order = jnp.argsort(~first, stable=True)
+    starts = order  # starts[g] = index of group g's first element (g < G)
+    G = jnp.sum(first)
+    idx = jnp.arange(N)
+    gvalid = idx < G
+    s_g = jnp.where(gvalid, starts, N - 1)
+    # group end = next group's start - 1; last group ends at last valid index
+    n_valid = jnp.sum(valid)
+    e_g = jnp.where(idx + 1 < G, jnp.roll(starts, -1) - 1, n_valid - 1)
+    e_g = jnp.where(gvalid, e_g, N - 1)
+
+    def segsum(v):
+        c = jnp.cumsum(v.astype(jnp.int64))
+        return (c[e_g] - c[s_g] + v[s_g].astype(jnp.int64)).astype(v.dtype)
+
+    out_n = segsum(n)
+    out_nh = segsum(n_high)
+    out = Aggregate(
+        shard=jnp.where(gvalid, shard[s_g], INVALID_SHARD),
+        keybody=jnp.where(gvalid, keybody[s_g], U64(0xFFFFFFFFFFFFFFFF)),
+        ret=jnp.where(gvalid, ret[s_g], U64(0)),
+        n=jnp.where(gvalid, out_n, U32(0)),
+        n_high=jnp.where(gvalid, out_nh, U32(0)),
+        first_arr=jnp.where(gvalid, first_arr[s_g], U64(0xFFFFFFFFFFFFFFFF)),
+        first_high=jnp.where(gvalid, first_high[s_g], U32(0)),
+    )
+    # pad or truncate to cap (caller guarantees G <= cap; overflow detected
+    # by the driver via the returned count)
+    def fit(a, fill):
+        if cap <= N:
+            return a[:cap]
+        return jnp.concatenate([a, jnp.full((cap - N,), fill, a.dtype)])
+
+    out = Aggregate(
+        shard=fit(out.shard, INVALID_SHARD),
+        keybody=fit(out.keybody, U64(0xFFFFFFFFFFFFFFFF)),
+        ret=fit(out.ret, U64(0)),
+        n=fit(out.n, U32(0)),
+        n_high=fit(out.n_high, U32(0)),
+        first_arr=fit(out.first_arr, U64(0xFFFFFFFFFFFFFFFF)),
+        first_high=fit(out.first_high, U32(0)),
+    )
+    return out, G
+
+
+@functools.partial(jax.jit, static_argnames=("k", "l_pre", "cap"))
+def chunk_aggregate(bases, qual_ok, lengths, arrival_base, k: int, l_pre: int, cap: int):
+    """Aggregate one read batch into per-distinct-k-mer stats."""
+    s = kops.kmer_stream(bases, qual_ok, lengths, k, l_pre)
+    B, L = bases.shape
+    arrival = arrival_base + jnp.arange(B * L, dtype=jnp.uint64)
+    valid = s["valid"].reshape(-1)
+    shard = jnp.where(valid, s["shard"].reshape(-1), INVALID_SHARD)
+    keybody = s["keybody"].reshape(-1)
+    ret = s["ret"].reshape(-1)
+    is_high = s["is_high"].reshape(-1).astype(U32)
+    one = valid.astype(U32)
+    return _segment_combine(shard, keybody, ret, one, is_high, arrival, is_high, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def merge_aggregates(a: Aggregate, b: Aggregate, cap: int):
+    """Merge two aggregates (concatenate + segment-combine)."""
+    cat = Aggregate(*[jnp.concatenate([x, y]) for x, y in zip(a, b)])
+    return _segment_combine(
+        cat.shard, cat.keybody, cat.ret, cat.n, cat.n_high, cat.first_arr,
+        cat.first_high, cap,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom probe expansion + first-occurrence adjudication
+# ---------------------------------------------------------------------------
+
+def bloom_probe_bits(ret, bf_shift: int, n_hashes: int):
+    """Global bit indices probed by each hash (bbf.c:27-37 addressing).
+
+    ret: u64 [...]; returns u64 [..., n_hashes] of block*512+offset.
+    The variable-skip probe walk (byte 0 of each block is skipped) is
+    unrolled to n_hashes+8 candidates, of which the first n_hashes valid
+    ones are selected - within 12 steps of a >=32-long probe cycle at
+    most 8 land in byte 0, so this is always enough.
+    """
+    x = bf_shift - BFC_BLK_SHIFT
+    block = ret & U64((1 << x) - 1)
+    h1 = (ret >> U64(x)) & U64(511)
+    h2 = (ret >> U64(bf_shift)) & U64(511)
+    h2 = jnp.where((h2 & U64(31)) == 0, (h2 + U64(1)) & U64(511), h2)
+    n_steps = n_hashes + 8
+    zs = []
+    z = h1
+    for _ in range(n_steps):
+        zs.append(z)
+        z = (z + h2) & U64(511)
+    zs = jnp.stack(zs, axis=-1)                       # [..., n_steps]
+    ok = zs >= U64(8)
+    # rank among valid candidates; pick ranks 0..n_hashes-1
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - 1
+    sel = jnp.where(ok, rank, -1)
+    out = jnp.zeros(ret.shape + (n_hashes,), dtype=U64)
+    for j in range(n_hashes):
+        pick = jnp.sum(jnp.where(sel == j, zs, U64(0)), axis=-1)
+        out = out.at[..., j].set(pick)
+    return (block[..., None] << U64(BFC_BLK_SHIFT)) | out
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def adjudicate_first_occurrence(agg: Aggregate, bf_shift: int, n_hashes: int):
+    """Was each distinct k-mer's first Bloom insert already fully set?
+
+    For each group: explode its n_hashes probe bits; a bit was set
+    before arrival a iff some other group's first occurrence with a
+    smaller arrival probes the same bit.  Returns bool [C]: the
+    false-positive promotion flag for the group's first occurrence.
+    """
+    C = agg.shard.shape[0]
+    valid = agg.shard != INVALID_SHARD
+    bits = bloom_probe_bits(agg.ret, bf_shift, n_hashes)      # [C, H]
+    H = n_hashes
+    flat_bits = bits.reshape(-1)
+    flat_arr = jnp.broadcast_to(agg.first_arr[:, None], (C, H)).reshape(-1)
+    flat_valid = jnp.broadcast_to(valid[:, None], (C, H)).reshape(-1)
+    sent = U64(0xFFFFFFFFFFFFFFFF)
+    key_bits = jnp.where(flat_valid, flat_bits, sent)
+    src = jnp.arange(C * H, dtype=jnp.uint32)
+    sb, sa, ssrc = jax.lax.sort((key_bits, flat_arr, src), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+    # forward-fill each bit-group's min arrival (= first element's arrival,
+    # since the sort is keyed by (bit, arrival))
+    min_arr = _forward_fill(jnp.where(first, sa, U64(0)), first)
+    was_set = min_arr < sa
+    # scatter back to original order
+    hit = jnp.zeros((C * H,), bool).at[ssrc].set(was_set)
+    return jnp.all(hit.reshape(C, H), axis=-1) & valid
+
+
+def _forward_fill(vals, first):
+    """vals holds the group value at group starts, 0 elsewhere; fill forward."""
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    filled, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
+    return filled
+
+
+# ---------------------------------------------------------------------------
+# Finalization: payloads, histogram, lookup table
+# ---------------------------------------------------------------------------
+
+class Table(NamedTuple):
+    """Flat displacement-addressed spectrum table (device-resident)."""
+
+    kb_payload: jax.Array  # u64 [S+margin]: keybody<<14 | payload (like htab keys)
+    shard: jax.Array       # u32 [S+margin]; INVALID_SHARD = empty
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def finalize_counts(agg: Aggregate, bf_shift: int, n_hashes: int):
+    """Compute reference-exact payloads for every distinct k-mer.
+
+    count = min(n-1+fp, 255); high = min(n_high - (1-fp)*first_high, 63)
+    (inserted occurrences are 2..n plus the first iff it was a Bloom
+    false positive; saturation as in htab.c:77-78).  Entries with
+    count==0 are dropped (shard set to INVALID)."""
+    fp = adjudicate_first_occurrence(agg, bf_shift, n_hashes).astype(U32)
+    valid = agg.shard != INVALID_SHARD
+    m = agg.n - 1 + fp
+    high = agg.n_high - (1 - fp) * agg.first_high
+    keep = valid & (m >= 1)
+    count = jnp.minimum(m, 255)
+    high = jnp.minimum(high, 63)
+    payload = jnp.where(keep, count | (high << 8), U32(0))
+    shard = jnp.where(keep, agg.shard, INVALID_SHARD)
+    # histogram of counts (hist mode: htab.c:110-127); kept entries always
+    # have count >= 1 so dropped entries (bin 0) are simply zeroed out
+    hist = jnp.bincount(jnp.where(keep, count, U32(0)), length=256)
+    hist = hist.at[0].set(0)
+    hist_high = jnp.bincount(jnp.where(keep, high, U32(0)), length=64)
+    hist_high = hist_high.at[0].set(jnp.sum(keep & (high == 0)))
+    return shard, agg.keybody, payload, keep, hist, hist_high
+
+
+def table_mode(hist) -> jax.Array:
+    """Coverage-peak mode: first argmax of hist[3:256] (htab.c:123-126)."""
+    h = hist[3:256]
+    # argmax returns the first maximum; mode -1 when all zero
+    m = jnp.argmax(h)
+    return jnp.where(jnp.max(h) > 0, m + 3, -1)
+
+
+def posk64(shard, keybody, l_pre: int, kb_bits: int):
+    """Uniform 64-bit position key: shard then keybody, left-justified."""
+    hi = shard.astype(U64) << U64(64 - l_pre)
+    rem = 64 - l_pre - kb_bits
+    if rem >= 0:
+        lo = keybody << U64(rem)
+    else:
+        lo = keybody >> U64(-rem)
+    return hi | lo
+
+
+@functools.partial(jax.jit, static_argnames=("s_bits", "margin", "l_pre", "kb_bits"))
+def build_table(shard, keybody, payload, keep, s_bits: int, margin: int,
+                l_pre: int, kb_bits: int):
+    """Place sorted entries at slot = max(ideal, prev+1) via cumulative max.
+
+    Inputs are the finalize_counts outputs (already sorted by
+    (shard, keybody) with dropped entries marked INVALID)."""
+    C = shard.shape[0]
+    # compact kept entries to the front, preserving sorted order
+    order = jnp.argsort(~keep, stable=True)
+    shard = shard[order]
+    keybody = keybody[order]
+    payload = payload[order]
+    n = jnp.sum(keep)
+    idx = jnp.arange(C)
+    live = idx < n
+    pk = posk64(shard, keybody, l_pre, kb_bits)
+    ideal = (pk >> U64(64 - s_bits)).astype(jnp.int64)
+    ideal = jnp.where(live, ideal, jnp.int64(1 << 62))
+    slot = idx + jax.lax.associative_scan(jnp.maximum, ideal - idx)
+    slot = jnp.where(live, slot, 0)
+    S = (1 << s_bits) + margin
+    max_slot = jnp.max(jnp.where(live, slot, 0))
+    tab_kbp = jnp.zeros((S,), U64)
+    tab_shard = jnp.full((S,), INVALID_SHARD, U32)
+    # dead (padding) entries all write the reserved sentinel slot S-1,
+    # which is reset to empty afterwards; the driver asserts
+    # max_slot <= S-2 so no live entry ever occupies it
+    write_slot = jnp.where(live, slot, S - 1)
+    tab_kbp = tab_kbp.at[write_slot].set((keybody << U64(14)) | payload.astype(U64))
+    tab_shard = tab_shard.at[write_slot].set(shard)
+    tab_shard = tab_shard.at[S - 1].set(INVALID_SHARD)
+    tab_kbp = tab_kbp.at[S - 1].set(U64(0))
+    return Table(kb_payload=tab_kbp, shard=tab_shard), n, max_slot
+
+
+@functools.partial(jax.jit, static_argnames=("s_bits", "l_pre", "kb_bits", "window"))
+def table_lookup(table: Table, q_shard, q_keybody, s_bits: int, l_pre: int,
+                 kb_bits: int, window: int = 8):
+    """Batched lookup: payload (int32) or -1 per query (htab.c:84-92).
+
+    Entries are stored in (shard, keybody) order with linear
+    displacement, so scanning forward from the ideal slot terminates at
+    a match, an empty slot, or an entry comparing greater."""
+    pk = posk64(q_shard, q_keybody, l_pre, kb_bits)
+    ideal = (pk >> U64(64 - s_bits)).astype(jnp.int64)
+    S = table.kb_payload.shape[0]
+
+    def probe_window(start):
+        offs = start[..., None] + jnp.arange(window)
+        offs = jnp.minimum(offs, S - 1)
+        e_kbp = table.kb_payload[offs]
+        e_shard = table.shard[offs]
+        e_kb = e_kbp >> U64(14)
+        empty = e_shard == INVALID_SHARD
+        eq = (e_shard == q_shard[..., None]) & (e_kb == q_keybody[..., None]) & ~empty
+        gt = (e_shard > q_shard[..., None]) | (
+            (e_shard == q_shard[..., None]) & (e_kb > q_keybody[..., None])
+        )
+        gt = (gt | empty) & ~eq
+        found = jnp.any(eq, axis=-1)
+        val = jnp.max(jnp.where(eq, (e_kbp & U64(0x3FFF)).astype(jnp.int32), -1), axis=-1)
+        miss = jnp.any(gt, axis=-1)  # sorted order: first greater/empty => absent
+        done = found | miss
+        return done, val
+
+    done, val = probe_window(ideal)
+    state = (done, val, ideal + window)
+
+    def cond(st):
+        return ~jnp.all(st[0])
+
+    def body(st):
+        done, val, nxt = st
+        d2, v2 = probe_window(nxt)
+        val = jnp.where(~done & d2, v2, val)
+        done = done | d2
+        return done, val, nxt + window
+
+    done, val, _ = jax.lax.while_loop(cond, body, state)
+    return val

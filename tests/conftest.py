@@ -1,13 +1,20 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set the environment before jax is imported anywhere.
+The container's sitecustomize imports jax and registers the axon TPU
+backend before any test code runs, so the JAX_PLATFORMS env var is
+already frozen into jax.config - override the config value directly
+(before any backend is initialized) instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,74 @@
+"""Device counting pass vs the exact scalar model."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bfc_tpu.models import counter as C
+from bfc_tpu.models import refmodel as M
+from bfc_tpu.opts import Opts
+
+from . import datagen
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    genome = datagen.make_genome(8000, seed=5)
+    reads = datagen.simulate_reads(genome, 2500, read_len=100, err_rate=0.012, seed=6)
+    return reads
+
+
+def _opts(k=17, bf_shift=22):
+    opt = Opts()
+    opt.k = k
+    opt.bf_shift = bf_shift
+    return opt
+
+
+@pytest.mark.parametrize("k,bf_shift", [(17, 22), (33, 24)])
+def test_device_table_matches_model(dataset, k, bf_shift):
+    opt = _opts(k, bf_shift)
+    _, ch = M.count_reads(iter(dataset), opt)
+    ds = C.count_stream(iter(dataset), opt, batch_reads=600)
+    model_entries = {(s, i): p for s, i, p in ch.items()}
+    assert ds.n_entries == len(model_entries)
+    shard, keybody, payload = ds.compact_entries()
+    dev_entries = {
+        (int(s), int(kb)): int(p) for s, kb, p in zip(shard, keybody, payload)
+    }
+    assert dev_entries == model_entries
+    # histogram + mode parity
+    cnt, high, mode = ch.hist()
+    assert ds.mode == mode
+    np.testing.assert_array_equal(ds.hist, np.array(cnt))
+    np.testing.assert_array_equal(ds.hist_high, np.array(high))
+
+
+def test_device_lookup_matches_model(dataset):
+    opt = _opts(19, 23)
+    _, ch = M.count_reads(iter(dataset), opt)
+    ds = C.count_stream(iter(dataset), opt, batch_reads=600)
+    rng = random.Random(3)
+    # query k-mers from real reads plus random (mostly absent) ones
+    queries = []
+    for _ in range(3000):
+        if rng.random() < 0.7:
+            seq, _ = dataset[rng.randrange(len(dataset))]
+            p = rng.randrange(0, len(seq) - opt.k)
+            s = seq[p : p + opt.k]
+            if "N" in s:
+                continue
+        else:
+            s = "".join(rng.choice("ACGT") for _ in range(opt.k))
+        x = M.kmer_null()
+        for chh in s:
+            M.kmer_append(opt.k, x, M.BASE_CODE[ord(chh)])
+        _, h0, h1 = M.kmer_hash(opt.k, x)
+        queries.append((h0, h1, ch.get(h0, h1)))
+    h0s = jnp.asarray(np.array([q[0] for q in queries], np.uint64))
+    h1s = jnp.asarray(np.array([q[1] for q in queries], np.uint64))
+    got = np.asarray(ds.lookup_hash(h0s, h1s))
+    want = np.array([q[2] for q in queries], np.int32)
+    np.testing.assert_array_equal(got, want)
