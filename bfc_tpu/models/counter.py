@@ -137,12 +137,15 @@ def restore_spectrum(fn: str) -> DeviceSpectrum:
 # Streaming counting driver
 # ---------------------------------------------------------------------------
 
-def count_stream(
+def count_stream_aggregate(
     read_iter: Iterable[Tuple[str, Optional[str]]],
     opt: Opts,
     batch_reads: int = 4096,
-) -> DeviceSpectrum:
-    """Counting pass over (seq, qual) pairs in stream order."""
+):
+    """Stream reads into the per-distinct-k-mer aggregate.
+
+    Returns (aggregate, n_reads); shared by the normal counting pass and
+    the filter-mode Bloom build."""
     k = opt.k
     l_pre = opt.effective_l_pre()
     agg = None
@@ -187,6 +190,18 @@ def count_stream(
         flush(pending)
     if agg is None:
         agg, _ = spec.merge_aggregates(_empty_agg(1), _empty_agg(1), 16)
+    return agg, n_reads
+
+
+def count_stream(
+    read_iter: Iterable[Tuple[str, Optional[str]]],
+    opt: Opts,
+    batch_reads: int = 4096,
+) -> DeviceSpectrum:
+    """Counting pass over (seq, qual) pairs in stream order."""
+    k = opt.k
+    l_pre = opt.effective_l_pre()
+    agg, n_reads = count_stream_aggregate(read_iter, opt, batch_reads=batch_reads)
     log(f"processed {n_reads} sequences")
 
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(

@@ -1,0 +1,170 @@
+"""Filter/trim mode (-1): device Bloom of repeated k-mers + batched trim.
+
+Mirrors the reference's second Bloom filter path (count.c:67-68,148-153)
+and max_streak trimming (correct.c:478-497,554-570).  The spin-locked
+bit array becomes a deduplicated scatter build; the per-read rolling
+streak scan becomes a windowed cumulative-max computation.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fastq import Read, format_corrected, read_fastx
+from ..opts import Opts
+from ..utils.log import log
+from ..ops import kmer as kops
+from ..ops import spectrum as spec
+
+U64 = jnp.uint64
+I32 = jnp.int32
+
+
+class DeviceBloom:
+    """Immutable blocked-Bloom bit array (query-only, reference addressing)."""
+
+    def __init__(self, words, bf_shift: int, n_hashes: int):
+        self.words = words  # u32 [2^(bf_shift-5)]
+        self.bf_shift = bf_shift
+        self.n_hashes = n_hashes
+
+    @staticmethod
+    def from_rets(rets, keep, bf_shift: int, n_hashes: int) -> "DeviceBloom":
+        """OR the probe bits of all kept hashes into a dense bit array."""
+        words = _bloom_build(rets, keep, bf_shift, n_hashes)
+        return DeviceBloom(words, bf_shift, n_hashes)
+
+    def query_all_set(self, rets):
+        """True where all n_hashes probe bits are set (bbf.c:47-63)."""
+        return _bloom_query(self.words, rets, self.bf_shift, self.n_hashes)
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def _bloom_build(rets, keep, bf_shift: int, n_hashes: int):
+    bits = spec.bloom_probe_bits(rets, bf_shift, n_hashes)  # [N, H]
+    flat = bits.reshape(-1)
+    keep_f = jnp.broadcast_to(keep[:, None], bits.shape).reshape(-1)
+    # dedupe exact bit ids so a scatter-add performs a bitwise OR
+    sent = U64((1 << bf_shift) + 1)
+    key = jnp.where(keep_f, flat, sent)
+    skey = jax.lax.sort((key,), num_keys=1)[0]
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    uniq = first & (skey != sent)
+    word = (skey >> U64(5)).astype(jnp.int64)
+    bit = (skey & U64(31)).astype(jnp.uint32)
+    n_words = 1 << (bf_shift - 5)
+    word = jnp.where(uniq, word, n_words + 1)
+    return jnp.zeros((n_words,), jnp.uint32).at[word].add(
+        jnp.where(uniq, jnp.uint32(1) << bit, 0), mode="drop"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def _bloom_query(words, rets, bf_shift: int, n_hashes: int):
+    bits = spec.bloom_probe_bits(rets, bf_shift, n_hashes)
+    word = (bits >> U64(5)).astype(jnp.int64)
+    bit = (bits & U64(31)).astype(jnp.uint32)
+    got = (words[word] >> bit) & 1
+    return jnp.all(got == 1, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def filter_keep_rets(agg: spec.Aggregate, bf_shift: int, n_hashes: int):
+    """Hashes that would enter bf_high: >= 1 Bloom-hit occurrence."""
+    fp = spec.adjudicate_first_occurrence(agg, bf_shift, n_hashes)
+    valid = agg.shard != spec.INVALID_SHARD
+    keep = valid & ((agg.n - 1 + fp.astype(jnp.uint32)) >= 1)
+    return agg.ret, keep
+
+
+def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 4096) -> DeviceBloom:
+    """Filter-mode counting: build the high-occurrence Bloom filter."""
+    from .counter import count_stream_aggregate
+
+    agg, n_reads = count_stream_aggregate(
+        ((r.seq, r.qual) for r in read_fastx(fn, keep_comment=False)),
+        opt, batch_reads=batch_reads,
+    )
+    rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
+    log(f"processed {n_reads} sequences (filter mode)")
+    return DeviceBloom.from_rets(rets, keep, opt.bf_shift, opt.n_hashes)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bf_shift", "n_hashes"))
+def max_streak_batch(words, bases, lens, k: int, bf_shift: int, n_hashes: int):
+    """Longest Bloom-hit k-mer run per read (max_streak, correct.c:478-497).
+
+    Returns the packed len<<32|reset_pos maximum, replicating the
+    reference's tie behavior (numeric max: equal lengths resolve to the
+    later run)."""
+    B, L = bases.shape
+    x0, x1, x2, x3 = kops.kmer_planes(bases, k)
+    valid = kops.valid_kmer_mask(bases, lens, k)
+    ret, _, _ = kops.canonical_hash(x0, x1, x2, x3, k)
+    hit = valid & _bloom_query(words, ret, bf_shift, n_hashes)
+    idx = jnp.arange(L)
+    inb = idx[None, :] < lens[:, None]
+    nonhit = ~hit
+    last_nonhit = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(nonhit, idx[None, :], -1), axis=-1
+    )
+    runlen = (idx[None, :] - last_nonhit).astype(jnp.int64)
+    t = jnp.where(
+        hit,
+        (runlen << 32) | (last_nonhit + 1).astype(jnp.int64),
+        (idx[None, :] + 1).astype(jnp.int64),
+    )
+    t = jnp.where(inb, t, 0)
+    return jnp.max(t, axis=-1)
+
+
+class Trimmer:
+    def __init__(self, opt: Opts, bloom: DeviceBloom):
+        self.opt = opt
+        self.bloom = bloom
+        # min_frac is a C float in the reference (bfc.h:21)
+        self.min_frac32 = struct.unpack("f", struct.pack("f", opt.min_frac))[0]
+
+    def trim_batch(self, reads: List[Read]) -> None:
+        opt = self.opt
+        seqs = [r.seq for r in reads]
+        bases, _, lens = kops.encode_batch(seqs, None, opt.q)
+        m = np.asarray(
+            max_streak_batch(
+                self.bloom.words, jnp.asarray(bases), jnp.asarray(lens),
+                opt.k, self.bloom.bf_shift, self.bloom.n_hashes,
+            )
+        )
+        for i, r in enumerate(reads):
+            streak = int(m[i]) >> 32
+            if streak and (streak + opt.k) / len(r.seq) > self.min_frac32:
+                start = (int(m[i]) & 0xFFFFFFFF) - (opt.k - 1)
+                end = start + streak + opt.k - 1
+                r.seq = r.seq[start:end]
+                if r.qual is not None:
+                    r.qual = r.qual[start:end]
+                r.aux = 0
+            else:
+                r.aux = 1
+
+    def trim_file(self, fn: str, out: List[str], batch_reads: int = 4096) -> None:
+        pending: List[Read] = []
+
+        def flush():
+            if pending:
+                self.trim_batch(pending)
+                for r in pending:
+                    format_corrected(r, self.opt.no_qual, True, self.opt.discard, out)
+                pending.clear()
+
+        for r in read_fastx(fn, keep_comment=True):
+            pending.append(r)
+            if len(pending) >= batch_reads:
+                flush()
+        flush()

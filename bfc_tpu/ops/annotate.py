@@ -1,0 +1,152 @@
+"""Batched pre-search annotation: k-mer coverage, solid island, greedy seed.
+
+Vectorized equivalents of bfc_ec_kcov / bfc_ec_best_island /
+bfc_ec_first_kmer / bfc_ec_greedy_k (/root/reference/correct.c:63-130).
+All sequential rolling loops become windowed cumulative ops; the greedy
+single-substitution sweep becomes one [B, k, 3] lookup batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import kmer as kops
+from . import spectrum as spec
+
+I32 = jnp.int32
+U64 = jnp.uint64
+
+
+def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1):
+    q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
+    return spec.table_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "l_pre", "s_bits", "kb_bits", "min_cov"))
+def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int,
+               min_cov: int):
+    """Per-base solid coverage annotation (bfc_ec_kcov, correct.c:96-117).
+
+    Returns (solid_end, high_end, lcov, hcov, occ) where occ is the raw
+    per-position k-mer payload (-1 absent) reused by later stages."""
+    B, L = seq_b.shape
+    x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
+    valid = kops.valid_kmer_mask(seq_b, lens, k)
+    _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
+    occ = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1)
+    occ = jnp.where(valid, occ, -1)
+    present = occ >= 0
+    high_end = present & (((occ >> 8) & 0x3F) >= min_cov + 1)
+    solid_end = present & ((occ & 0xFF) >= min_cov)
+    # lcov[j] = # solid k-mer ends in [j, j+k-1]; hcov with high_end too
+    # (6-bit fields in the reference: wrap mod 64)
+    se = solid_end.astype(I32)
+    he = (solid_end & high_end).astype(I32)
+    cs = jnp.cumsum(se, axis=-1)
+    ch = jnp.cumsum(he, axis=-1)
+    idx = jnp.arange(L)
+    hi = jnp.minimum(idx + k - 1, L - 1)
+    lcov = (cs[:, hi] - cs + se) & 63
+    hcov = (ch[:, hi] - ch + he) & 63
+    return solid_end, high_end, lcov, hcov, occ
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def best_island_batch(solid_end, lens, k: int):
+    """Longest solid run (bfc_ec_best_island, correct.c:119-130).
+
+    Returns (start, end, found): candidates are evaluated at every
+    non-solid position in [k-1, n) plus the sentinel position n, taking
+    the first strict maximum, exactly like the reference scan."""
+    B, L = solid_end.shape
+    idx = jnp.arange(L + 1)
+    # solid within the scanned domain [k-1, n)
+    sol = jnp.pad(solid_end, ((0, 0), (0, 1)))
+    in_dom = (idx[None, :] >= k - 1) & (idx[None, :] < lens[:, None])
+    sol = sol & in_dom
+    # run of consecutive solid positions ending at i (inclusive)
+    brk = jnp.where(~sol, idx[None, :], -1)
+    last_brk = jax.lax.associative_scan(jnp.maximum, brk, axis=-1)
+    run_end = idx[None, :] - last_brk - 1  # run length ending at i (if sol[i])
+    run_before = jnp.concatenate(
+        [jnp.zeros((B, 1), I32), jnp.where(sol, run_end + 1, 0).astype(I32)[:, :-1]],
+        axis=1,
+    )
+    # candidate positions: non-solid in domain, or i == n
+    cand = (~sol & in_dom) | (idx[None, :] == lens[:, None])
+    l_cand = jnp.where(cand, run_before, 0)
+    # first maximum wins (strict > in the reference): key on (l, -i)
+    key = l_cand.astype(jnp.int64) * (L + 2) + (L + 1 - idx[None, :])
+    key = jnp.where(cand & (l_cand > 0), key, -1)
+    best = jnp.argmax(key, axis=-1).astype(I32)
+    found = jnp.max(key, axis=-1) >= 0
+    maxl = l_cand[jnp.arange(B), best]
+    start = best - maxl - (k - 1)
+    return jnp.where(found, start, 0), jnp.where(found, best, 0), found
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def first_kmer_batch(seq_b, lens, start, k: int):
+    """First full k-mer at/after start (bfc_ec_first_kmer, correct.c:82-94).
+
+    Returns (end_pos, x0, x1, x2, x3, found): end_pos is the index of
+    the k-mer's last base (== n when absent)."""
+    B, L = seq_b.shape
+    idx = jnp.arange(L)
+    bad = (seq_b > 3) | (idx[None, :] >= lens[:, None]) | (idx[None, :] < start[:, None])
+    last_bad = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(bad, idx[None, :], -1), axis=-1
+    )
+    run = idx[None, :] - last_bad
+    ok = (run >= k) & (idx[None, :] < lens[:, None])
+    end_pos = jnp.argmax(ok, axis=-1).astype(I32)
+    found = jnp.any(ok, axis=-1)
+    x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
+    r = jnp.arange(B)
+    pc = jnp.where(found, end_pos, 0)
+    return (
+        jnp.where(found, end_pos, lens),
+        x0[r, pc], x1[r, pc], x2[r, pc], x3[r, pc],
+        found,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "l_pre", "s_bits", "kb_bits"))
+def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
+                   kb_bits: int):
+    """Single-substitution brute-force repair (bfc_ec_greedy_k, correct.c:63-80).
+
+    Tries all (position, alt-base) substitutions of the k-mer; accepts
+    iff 3*best_count > mode and second_best_count < 3.  Returns
+    pos<<2|base or -1, replicating the scan's first-wins tie-breaking.
+    """
+    B = x0.shape[0]
+    cand_occ = []
+    cand_code = []
+    for i in range(k):
+        cur = (((x1 >> U64(i)) & U64(1)) << U64(1)) | ((x0 >> U64(i)) & U64(1))
+        for j in range(4):
+            nx = kops.change_base(x0, x1, x2, x3, i, jnp.full((B,), j, I32), k)
+            _, h0, h1 = kops.canonical_hash(*nx, k)
+            occ = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1)
+            occ = jnp.where(cur == j, -1, occ)  # j == c: skipped
+            cand_occ.append(occ)
+            cand_code.append((i << 2) | j)
+    occ = jnp.stack(cand_occ, axis=1)             # [B, 4k]
+    codes = jnp.asarray(cand_code, I32)           # [4k]
+    cnt = jnp.where(occ >= 0, occ & 0xFF, -1)
+    # running max with strict > (first wins) == argmax with lowest index
+    best_idx = jnp.argmax(cnt, axis=1)
+    best_cnt = jnp.max(cnt, axis=1)
+    # second best including duplicates of the max
+    cnt2 = cnt.at[jnp.arange(B), best_idx].set(-1)
+    second_cnt = jnp.max(cnt2, axis=1)
+    best_cnt = jnp.maximum(best_cnt, 0)           # max starts at 0 in the ref
+    second_cnt = jnp.maximum(second_cnt, 0)
+    ok = (best_cnt * 3 > mode) & (second_cnt < 3)
+    # max_ec stays -1 unless some candidate raised max above 0
+    has = jnp.max(cnt, axis=1) > 0
+    return jnp.where(ok & has, codes[best_idx], -1)

@@ -182,6 +182,52 @@ def kmer_stream(bases, qual_ok, lengths, k: int, l_pre: int):
     )
 
 
+def bitrev64(x):
+    """Bit-reverse each uint64 lane."""
+    x = ((x & U64(0x5555555555555555)) << U64(1)) | ((x >> U64(1)) & U64(0x5555555555555555))
+    x = ((x & U64(0x3333333333333333)) << U64(2)) | ((x >> U64(2)) & U64(0x3333333333333333))
+    x = ((x & U64(0x0F0F0F0F0F0F0F0F)) << U64(4)) | ((x >> U64(4)) & U64(0x0F0F0F0F0F0F0F0F))
+    x = ((x & U64(0x00FF00FF00FF00FF)) << U64(8)) | ((x >> U64(8)) & U64(0x00FF00FF00FF00FF))
+    x = ((x & U64(0x0000FFFF0000FFFF)) << U64(16)) | ((x >> U64(16)) & U64(0x0000FFFF0000FFFF))
+    return (x << U64(32)) | (x >> U64(32))
+
+
+def reverse_k(x, k: int):
+    """Reverse the low k bits of each lane (high bits must be zero)."""
+    return bitrev64(x) >> U64(64 - k)
+
+
+def append_base(x0, x1, x2, x3, c, k: int):
+    """Vectorized single-base roll of 4-plane k-mer states (kmer.h:10-17).
+
+    x*: u64 arrays; c: integer array of base codes 0..3."""
+    mask = U64((1 << k) - 1)
+    c = jnp.asarray(c).astype(U64)
+    lo = c & U64(1)
+    hi = (c >> U64(1)) & U64(1)
+    n0 = ((x0 << U64(1)) | lo) & mask
+    n1 = ((x1 << U64(1)) | hi) & mask
+    n2 = (x2 >> U64(1)) | ((lo ^ U64(1)) << U64(k - 1))
+    n3 = (x3 >> U64(1)) | ((hi ^ U64(1)) << U64(k - 1))
+    return n0, n1, n2, n3
+
+
+def change_base(x0, x1, x2, x3, d, c, k: int):
+    """Vectorized substitution d positions from the 3' end (kmer.h:19-27)."""
+    d = jnp.asarray(d).astype(U64)
+    c = jnp.asarray(c).astype(U64)
+    lo = c & U64(1)
+    hi = (c >> U64(1)) & U64(1)
+    t = ~(U64(1) << d)
+    n0 = (lo << d) | (x0 & t)
+    n1 = (hi << d) | (x1 & t)
+    e = U64(k - 1) - d
+    t2 = ~(U64(1) << e)
+    n2 = ((lo ^ U64(1)) << e) | (x2 & t2)
+    n3 = ((hi ^ U64(1)) << e) | (x3 & t2)
+    return n0, n1, n2, n3
+
+
 # ---------------------------------------------------------------------------
 # Host-side encoding
 # ---------------------------------------------------------------------------
