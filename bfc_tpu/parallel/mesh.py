@@ -1,0 +1,253 @@
+"""Multi-chip scaling: hash-prefix-sharded counting + data-parallel correction.
+
+TPU-native replacement for the reference's shared-memory concurrency
+(spin-locked Bloom blocks / hash shards + per-thread insert buffers,
+/root/reference/bbf.c:34, htab.c:67-71, count.c:20-66).  The reference
+already partitions its table by a hash prefix (htab.c:28-33); here that
+prefix becomes the device-sharding key:
+
+  counting   each device rolls k-mers from its read slice, buckets them
+             by table-shard prefix, and exchanges buckets with a single
+             jax.lax.all_to_all over ICI; every per-shard combine is
+             then purely local (the per-thread insbuf trick, writ large).
+  adjudicate Bloom first-occurrence adjudication routes first-occurrence
+             events by Bloom-block prefix (a second all_to_all), computes
+             per-bit min arrivals locally, and routes verdicts back.
+  correction data-parallel over reads with the finalized table
+             replicated (sharded-table lookup via all-to-all gather is
+             the human-scale path; see SURVEY.md §5.8).
+
+Determinism: arrival indices are global (read-major over the unsharded
+stream), so the sequential-order counting semantics are preserved
+exactly regardless of device count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import kmer as kops
+from ..ops import spectrum as spec
+
+U64 = jnp.uint64
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("d",))
+
+
+def _dev_of_shard(shard, l_pre: int, n_dev: int):
+    """Owning device of a table shard = top log2(n_dev) bits of the prefix."""
+    shift = max(l_pre - int(np.log2(n_dev)), 0)
+    return (shard >> U32(shift)).astype(I32) % n_dev
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "l_pre", "cap", "bucket_cap", "mesh_ref")
+)
+def sharded_chunk_aggregate(bases, qual_ok, lens, arrival_base, k: int,
+                            l_pre: int, cap: int, bucket_cap: int, mesh_ref):
+    """One sharded counting step: local k-mer roll -> all-to-all by hash
+    prefix -> local combine.  Inputs are sharded over reads (axis 0 of
+    [B, L]); the returned Aggregate is sharded over hash-prefix ranges
+    (axis 0 of [n_dev * cap])."""
+    mesh = mesh_ref.mesh
+    n_dev = mesh.shape["d"]
+
+    def step(bases, qual_ok, lens, arrival_base):
+        # local shard of the batch
+        s = kops.kmer_stream(bases, qual_ok, lens, k, l_pre)
+        Bl, L = bases.shape
+        my = jax.lax.axis_index("d")
+        arrival = (
+            arrival_base
+            + my.astype(U64) * U64(Bl * L)
+            + jnp.arange(Bl * L, dtype=U64)
+        )
+        valid = s["valid"].reshape(-1)
+        shard = jnp.where(valid, s["shard"].reshape(-1), spec.INVALID_SHARD)
+        keybody = s["keybody"].reshape(-1)
+        ret = s["ret"].reshape(-1)
+        is_high = s["is_high"].reshape(-1).astype(U32)
+        dest = jnp.where(valid, _dev_of_shard(shard, l_pre, n_dev), n_dev)
+        # bucket by destination: sort by dest, then scatter into fixed
+        # [n_dev, bucket_cap] send buffers (per-dest overflow detected)
+        order = jnp.argsort(dest, stable=True)
+        dest_s = dest[order]
+        rank = jnp.arange(dest_s.shape[0]) - jnp.searchsorted(
+            dest_s, dest_s, side="left"
+        )
+        counts = jnp.bincount(jnp.minimum(dest_s, n_dev), length=n_dev + 1)[:n_dev]
+        overflow = jnp.any(counts > bucket_cap)
+        slot = jnp.where(
+            (dest_s < n_dev) & (rank < bucket_cap),
+            dest_s * bucket_cap + rank,
+            n_dev * bucket_cap + 1,
+        )
+
+        def bucketize(v, fill):
+            buf = jnp.full((n_dev * bucket_cap,), fill, v.dtype)
+            return buf.at[slot].set(v[order], mode="drop").reshape(n_dev, bucket_cap)
+
+        b_shard = bucketize(shard, spec.INVALID_SHARD)
+        b_kb = bucketize(keybody, U64(0xFFFFFFFFFFFFFFFF))
+        b_ret = bucketize(ret, U64(0))
+        b_high = bucketize(is_high, U32(0))
+        b_arr = bucketize(arrival, U64(0xFFFFFFFFFFFFFFFF))
+        # exchange: row j of the result = row my of device j's buffer
+        def xch(b):
+            return jax.lax.all_to_all(b, "d", split_axis=0, concat_axis=0, tiled=True)
+
+        r_shard = xch(b_shard).reshape(-1)
+        r_kb = xch(b_kb).reshape(-1)
+        r_ret = xch(b_ret).reshape(-1)
+        r_high = xch(b_high).reshape(-1)
+        r_arr = xch(b_arr).reshape(-1)
+        one = (r_shard != spec.INVALID_SHARD).astype(U32)
+        agg, g = spec._segment_combine(
+            r_shard, r_kb, r_ret, one, r_high, r_arr, r_high, cap
+        )
+        return tuple(x[None] for x in agg) + (g[None], overflow[None])
+
+    out = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P()),
+        out_specs=tuple([P("d")] * 7) + (P("d"), P("d")),
+    )(bases, qual_ok, lens, arrival_base)
+    agg = spec.Aggregate(*[x.reshape(-1) for x in out[:7]])
+    return agg, out[7], jnp.any(out[8])
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "mesh_ref"))
+def sharded_merge(a: spec.Aggregate, b: spec.Aggregate, cap: int, mesh_ref):
+    """Merge two prefix-sharded aggregates; combines stay device-local."""
+    mesh = mesh_ref.mesh
+
+    def step(*cols):
+        ca = cols[:7]
+        cb = cols[7:]
+        cat = [jnp.concatenate([x.reshape(-1), y.reshape(-1)]) for x, y in zip(ca, cb)]
+        agg, g = spec._segment_combine(
+            cat[0], cat[1], cat[2], cat[3], cat[4], cat[5], cat[6], cap
+        )
+        return tuple(x[None] for x in agg) + (g[None],)
+
+    out = shard_map(
+        step, mesh=mesh,
+        in_specs=tuple([P("d")] * 14),
+        out_specs=tuple([P("d")] * 7) + (P("d"),),
+    )(*(list(a) + list(b)))
+    return spec.Aggregate(*[x.reshape(-1) for x in out[:7]]), out[7]
+
+
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes", "mesh_ref"))
+def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_ref):
+    """Distributed Bloom first-occurrence adjudication.
+
+    Routes (probe-bit, arrival) events to the device owning the Bloom
+    block (low ret bits), computes per-bit min arrivals locally, and
+    routes verdicts back to the k-mers' owners."""
+    mesh = mesh_ref.mesh
+    n_dev = mesh.shape["d"]
+
+    def step(shard, ret, first_arr):
+        shard = shard.reshape(-1)
+        ret = ret.reshape(-1)
+        first_arr = first_arr.reshape(-1)
+        C = shard.shape[0]
+        valid = shard != spec.INVALID_SHARD
+        bits = spec.bloom_probe_bits(ret, bf_shift, n_hashes)  # [C, H]
+        H = n_hashes
+        flat_bits = bits.reshape(-1)
+        flat_arr = jnp.broadcast_to(first_arr[:, None], (C, H)).reshape(-1)
+        flat_ok = jnp.broadcast_to(valid[:, None], (C, H)).reshape(-1)
+        # destination = block owner; block = bit_id >> 9
+        dest = jnp.where(
+            flat_ok,
+            ((flat_bits >> U64(9)) % U64(n_dev)).astype(I32),
+            n_dev,
+        )
+        cap_ev = (C * H) // n_dev * 2 + 64
+        order = jnp.argsort(dest, stable=True)
+        dest_s = dest[order]
+        rank = jnp.arange(dest_s.shape[0]) - jnp.searchsorted(dest_s, dest_s, "left")
+        counts = jnp.bincount(jnp.minimum(dest_s, n_dev), length=n_dev + 1)[:n_dev]
+        overflow = jnp.any(counts > cap_ev)
+        slot = jnp.where(
+            (dest_s < n_dev) & (rank < cap_ev),
+            dest_s * cap_ev + rank, n_dev * cap_ev + 1,
+        )
+
+        def bucketize(v, fill):
+            buf = jnp.full((n_dev * cap_ev,), fill, v.dtype)
+            return buf.at[slot].set(v[order], mode="drop").reshape(n_dev, cap_ev)
+
+        sent = U64(0xFFFFFFFFFFFFFFFF)
+        b_bit = bucketize(jnp.where(flat_ok, flat_bits, sent), sent)
+        b_arr = bucketize(flat_arr, sent)
+
+        def xch(b):
+            return jax.lax.all_to_all(b, "d", split_axis=0, concat_axis=0, tiled=True)
+
+        r_bit = xch(b_bit).reshape(-1)
+        r_arr = xch(b_arr).reshape(-1)
+        # local per-bit min arrival; events with identical bits collide here
+        kb, ka, ksrc = jax.lax.sort(
+            (r_bit, r_arr, jnp.arange(r_bit.shape[0], dtype=U32)), num_keys=2
+        )
+        first = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
+        min_arr = spec._forward_fill(jnp.where(first, ka, U64(0)), first)
+        was_set = (min_arr < ka) & (kb != sent)
+        verdict = jnp.zeros((r_bit.shape[0],), bool).at[ksrc].set(was_set)
+        # route verdicts back: the bucket layout is symmetric, so a
+        # second all_to_all returns slot (j, i) to its origin device
+        v_back = xch(verdict.reshape(n_dev, cap_ev)).reshape(-1)
+        # undo the local bucketization: slot maps sorted position -> buffer
+        in_range = slot < n_dev * cap_ev
+        hit_sorted = jnp.where(
+            in_range, v_back[jnp.minimum(slot, n_dev * cap_ev - 1)], False
+        )
+        hit = jnp.zeros((C * H,), bool).at[order].set(hit_sorted)
+        fp = jnp.all(hit.reshape(C, H), axis=-1) & valid
+        return fp[None], overflow[None]
+
+    out = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d")),
+        out_specs=(P("d"), P("d")),
+    )(agg.shard, agg.ret, agg.first_arr)
+    return out[0].reshape(-1), jnp.any(out[1])
+
+
+def replicate_table(table: spec.Table, mesh: Mesh) -> spec.Table:
+    """Replicate the finalized table across the mesh for dp correction."""
+    sh = NamedSharding(mesh, P())
+    return spec.Table(
+        kb_payload=jax.device_put(table.kb_payload, sh),
+        shard=jax.device_put(table.shard, sh),
+    )
+
+
+class MeshRef:
+    """Hashable wrapper so a Mesh can be a static jit argument."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return isinstance(other, MeshRef) and self.mesh == other.mesh

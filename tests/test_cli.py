@@ -1,0 +1,55 @@
+"""CLI surface tests: flags, stdout contract, hash2cnt tool."""
+
+import subprocess
+import sys
+
+import pytest
+
+from . import datagen, oracle
+
+
+@pytest.fixture(scope="module")
+def fq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    return datagen.standard_dataset(str(d), genome_len=6000, n_reads=1500)
+
+
+def run_cli(args, env_cpu=True):
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the sitecustomize pre-imports jax with the axon backend; neutralize
+    env["PYTHONPATH"] = ""
+    p = subprocess.run(
+        [sys.executable, "-m", "bfc_tpu"] + args,
+        capture_output=True, env=env, timeout=900,
+    )
+    assert p.returncode == 0, p.stderr.decode()
+    return p.stdout
+
+
+def test_cli_version():
+    out = run_cli(["-v"])
+    assert b"r181-compat" in out
+
+
+def test_cli_correct_matches_reference(fq):
+    ref_out, _ = oracle.run_bfc(["-k17", "-b22", "-t1", fq])
+    mine = run_cli(["-k17", "-b22", fq])
+    assert mine == ref_out
+
+
+def test_cli_trim_and_hash2cnt(fq, tmp_path):
+    ref_out, _ = oracle.run_bfc(["-k17", "-b22", "-t1", "-1", fq])
+    mine = run_cli(["-k17", "-b22", "-1", fq])
+    assert mine == ref_out
+    dump = tmp_path / "d.hash"
+    run_cli(["-k17", "-b22", "-E", "-d", str(dump), fq])
+    ref_txt = oracle.run_hash2cnt(dump)
+    p = subprocess.run(
+        [sys.executable, "-m", "bfc_tpu.tools.hash2cnt", str(dump)],
+        capture_output=True, timeout=300,
+    )
+    assert p.returncode == 0
+    assert sorted(p.stdout.split()) == sorted(ref_txt.split())
