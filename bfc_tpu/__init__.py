@@ -13,12 +13,26 @@ semantics, including Bloom false-positive promotion), and scales over a
 device mesh by hash-prefix sharding with all-to-all k-mer shuffles.
 """
 
+import os as _os
+
 import jax
 
 # The k-mer/hash pipeline is 64-bit integer arithmetic end to end; the
 # engine requires x64 (emulated as 32-bit pairs on TPU where needed; the
 # Pallas hot kernels use explicit u32-pair arithmetic).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU sort/search kernels are expensive to
+# compile (tens of seconds); cache them across processes.
+_cache_dir = _os.environ.get(
+    "BFC_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax_cache"),
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without the knobs: harmless
+    pass
 
 from .opts import Opts  # noqa: E402,F401
 

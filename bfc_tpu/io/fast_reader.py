@@ -1,0 +1,215 @@
+"""Batched FASTQ reader over the native C parser (Python fallback).
+
+Yields ReadBatch objects carrying encoded padded arrays (ready for the
+device) plus lazy access to names/comments/raw text, so the hot path
+never materializes per-read Python strings.  Falls back to the general
+parser in bfc_tpu.io.fastq for multi-line records or when the native
+library is unavailable.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..native.build import get_lib
+from . import fastq as slow_io
+
+_BLOCK = 4 << 20
+
+
+class ReadBatch:
+    """A parsed batch: padded arrays + lazy per-read text accessors."""
+
+    __slots__ = ("n", "bases", "quals", "lens", "buf", "name_off", "name_len",
+                 "comm_off", "comm_len", "seq_off", "qual_off", "_strings")
+
+    def __init__(self, n, bases, quals, lens, buf, name_off, name_len,
+                 comm_off, comm_len, seq_off, qual_off, strings=None):
+        self.n = n
+        self.bases = bases        # u8 [n, L] codes 0..4
+        self.quals = quals        # u8 [n, L] raw qual chars (0 = none/pad)
+        self.lens = lens          # i32 [n]
+        self.buf = buf
+        self.name_off = name_off
+        self.name_len = name_len
+        self.comm_off = comm_off
+        self.comm_len = comm_len
+        self.seq_off = seq_off
+        self.qual_off = qual_off
+        self._strings = strings   # fallback path: list of Read objects
+
+    def name(self, i: int) -> str:
+        if self._strings is not None:
+            return self._strings[i].name
+        o = self.name_off[i]
+        return self.buf[o : o + self.name_len[i]].decode("ascii")
+
+    def comment(self, i: int) -> Optional[str]:
+        if self._strings is not None:
+            return self._strings[i].comment
+        ln = self.comm_len[i]
+        if ln < 0:
+            return None
+        o = self.comm_off[i]
+        return self.buf[o : o + ln].decode("ascii")
+
+    def seq(self, i: int) -> str:
+        if self._strings is not None:
+            return self._strings[i].seq
+        o = self.seq_off[i]
+        return self.buf[o : o + int(self.lens[i])].decode("ascii")
+
+    def qual(self, i: int) -> Optional[str]:
+        if self._strings is not None:
+            return self._strings[i].qual
+        o = self.qual_off[i]
+        if o < 0:
+            return None
+        return self.buf[o : o + int(self.lens[i])].decode("ascii")
+
+    def has_qual(self) -> np.ndarray:
+        if self._strings is not None:
+            return np.array([r.qual is not None for r in self._strings])
+        return self.qual_off[: self.n] >= 0
+
+
+def _open_raw(fn: Optional[str]):
+    import io as _io
+    import sys
+
+    if fn is None or fn == "-":
+        return sys.stdin.buffer
+    raw = open(fn, "rb")
+    magic = raw.read(2)
+    raw.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
+    lib = get_lib()
+    if lib is None:
+        yield from _iter_batches_slow(fn, batch_reads)
+        return
+    import ctypes
+
+    fp = _open_raw(fn)
+    tail = b""
+    eof = False
+    slow_mode = False
+    while not eof or tail:
+        if slow_mode:
+            break
+        block = fp.read(_BLOCK) if not eof else b""
+        if not block:
+            eof = True
+        buf = tail + block
+        if not buf:
+            break
+        consumed_total = 0
+        while True:
+            sub = buf[consumed_total:]
+            if not sub:
+                break
+            B = batch_reads
+            bases = np.full((B, max_len), 4, np.uint8)
+            quals = np.zeros((B, max_len), np.uint8)
+            lens = np.zeros((B,), np.int32)
+            name_off = np.zeros((B,), np.int64)
+            name_len = np.zeros((B,), np.int32)
+            comm_off = np.zeros((B,), np.int64)
+            comm_len = np.zeros((B,), np.int32)
+            seq_off = np.zeros((B,), np.int64)
+            qual_off = np.zeros((B,), np.int64)
+            consumed = ctypes.c_int64(0)
+            r = lib.fastx_parse(
+                sub, len(sub), int(eof), B, max_len,
+                bases.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                quals.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                comm_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                comm_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(consumed),
+            )
+            if r < 0:
+                slow_mode = True
+                break
+            if r == 0:
+                # incomplete record (needs more input) or over-long seq
+                if eof and consumed.value == 0 and len(sub) > 0:
+                    if max_len < 1 << 20:
+                        max_len *= 2
+                        continue
+                    slow_mode = True
+                break
+            yield ReadBatch(
+                int(r), bases[:r], quals[:r], lens[:r], sub,
+                name_off[:r], name_len[:r], comm_off[:r], comm_len[:r],
+                seq_off[:r], qual_off[:r],
+            )
+            consumed_total += int(consumed.value)
+            if r < B:
+                break
+        tail = buf[consumed_total:]
+        if eof and (slow_mode or not block):
+            break
+    if slow_mode:
+        # re-parse the remaining text with the tolerant parser
+        yield from _batches_from_reads(
+            _reads_from_text(tail.decode("ascii", "replace"), fn, fp),
+            batch_reads,
+        )
+    fp.close()
+
+
+def _reads_from_text(text: str, fn, fp) -> Iterator[slow_io.Read]:
+    import io as _io
+
+    rest = fp.read()
+    full = text + (rest.decode("ascii", "replace") if rest else "")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fq", delete=False) as tf:
+        tf.write(full)
+        path = tf.name
+    yield from slow_io.read_fastx(path)
+
+
+def _iter_batches_slow(fn, batch_reads: int) -> Iterator[ReadBatch]:
+    yield from _batches_from_reads(slow_io.read_fastx(fn), batch_reads)
+
+
+def _batches_from_reads(reads, batch_reads: int) -> Iterator[ReadBatch]:
+    from ..ops.kmer import encode_batch
+
+    pending: List[slow_io.Read] = []
+
+    def make(pending):
+        bases, _, lens = encode_batch([r.seq for r in pending], None, 0)
+        L = bases.shape[1] if bases.size else 1
+        quals = np.zeros((len(pending), L), np.uint8)
+        for i, r in enumerate(pending):
+            if r.qual is not None:
+                quals[i, : len(r.qual)] = np.frombuffer(
+                    r.qual.encode("ascii"), np.uint8
+                )
+        return ReadBatch(
+            len(pending), bases, quals, lens, b"", None, None, None, None,
+            None, None, strings=list(pending),
+        )
+
+    for r in reads:
+        pending.append(r)
+        if len(pending) >= batch_reads:
+            yield make(pending)
+            pending = []
+    if pending:
+        yield make(pending)

@@ -187,77 +187,116 @@ class Corrector:
         return self._model_ch
 
     def correct_batch(self, seqs: List[str], quals: List[Optional[str]]):
-        """Correct a batch; returns [(EcStat, seq, qual)]."""
+        """Correct a batch of python strings; returns [(EcStat, seq, qual)]."""
         opt = self.opt
         n = len(seqs)
-        # host conversion (bfc_seq_conv semantics incl. refine decode)
-        conv_b: List[np.ndarray] = []
-        conv_q: List[np.ndarray] = []
-        for seq, qual in zip(seqs, quals):
-            b = kops._BASE_LUT[np.frombuffer(seq.encode("ascii"), np.uint8)].copy()
-            if qual is not None:
-                qv = np.frombuffer(qual.encode("ascii"), np.uint8).astype(np.int32) - 33
-                q = qv >= opt.q
-                if opt.refine_ec:
-                    enc = qv <= 5
-                    b = np.where(enc, (qv - 1) & 7, b).astype(np.uint8)
-            else:
-                q = np.ones(len(b), bool)
-            q = q & (b <= 3)
-            conv_b.append(b)
-            conv_q.append(q)
-        L = max((len(b) for b in conv_b), default=1)
-        L = (L + 31) // 32 * 32
-        B = (n + 255) // 256 * 256
+        bases0, _, lens0 = kops.encode_batch(seqs, None, opt.q)
+        L0 = bases0.shape[1] if bases0.size else 1
+        rawq0 = np.zeros((n, L0), np.uint8)
+        has_q = np.array([q is not None for q in quals], bool)
+        if has_q.any():
+            rows = np.repeat(np.arange(n), lens0)
+            offs = np.concatenate([[0], np.cumsum(lens0)[:-1]])
+            cols = np.arange(int(lens0.sum())) - np.repeat(offs, lens0)
+            flat_q = np.frombuffer(
+                "".join(q if q is not None else "\x00" * l
+                        for q, l in zip(quals, lens0)).encode("latin-1"),
+                np.uint8,
+            )
+            rawq0[rows, cols] = flat_q
+
+        def text_of(i):
+            return seqs[i], quals[i]
+
+        return self.correct_arrays(bases0, rawq0, lens0, has_q, text_of)
+
+    def correct_arrays(self, bases0, rawq0, lens0, has_q, text_of):
+        """Correct a batch given encoded arrays (the zero-string hot path).
+
+        bases0: u8 [n, L0] base codes; rawq0: u8 [n, L0] raw quality
+        ASCII (0 where absent); text_of(i) -> (seq, qual) provides the
+        original text, needed only for failed/overflowed reads.
+        Shapes are bucketed (power-of-two batch, sticky max length) so
+        the device step compiles once and is reused for every batch.
+        """
+        opt = self.opt
+        n, L0 = bases0.shape
+        L = (max(int(lens0.max()) if n else 1, 1) + 31) // 32 * 32
+        self._pad_L = max(getattr(self, "_pad_L", 0), L)
+        L = self._pad_L
+        B = 256
+        while B < n:
+            B *= 2
+        Lc = min(L, L0)
         bases = np.full((B, L), 4, np.uint8)
-        qflag = np.zeros((B, L), bool)
+        bases[:n, :Lc] = bases0[:, :Lc]
         lens = np.zeros((B,), np.int32)
-        for i, (b, q) in enumerate(zip(conv_b, conv_q)):
-            bases[i, : len(b)] = b
-            qflag[i, : len(b)] = q
-            lens[i] = len(b)
+        lens[:n] = lens0
+        qflag = np.zeros((B, L), bool)
+        qv = rawq0[:, :Lc].astype(np.int32) - 33
+        inb = np.arange(Lc)[None, :] < lens0[:, None]
+        qflag[:n, :Lc] = np.where(
+            has_q[:, None], qv >= opt.q, inb
+        )
+        if opt.refine_ec:
+            enc = (qv <= 5) & has_q[:, None] & inb
+            bases[:n, :Lc] = np.where(
+                enc, ((qv - 1) & 7).astype(np.uint8), bases[:n, :Lc]
+            )
+        qflag &= bases <= 3
         out = correct_core(
             self.ds.table, self.cfg, jnp.asarray(bases), jnp.asarray(qflag),
             jnp.asarray(lens), jnp.int32(self.ds.mode),
         )
         out = {k: np.asarray(v) for k, v in out.items()}
+        quals_present = has_q
+        # whole-batch output re-encoding (correct.c:451-459), then per-read
+        # slicing; avoids per-read numpy work on the hot path
+        fb = out["final_b"]
+        isd = out["is_diff"]
+        upper = np.frombuffer(b"ACGTN", np.uint8)[fb]
+        lower = np.frombuffer(b"acgtn", np.uint8)[fb]
+        seq_mat = np.where(isd, lower, upper)
+        qual_mat = np.where(
+            isd,
+            34 + out["ob"].astype(np.uint8),
+            np.frombuffer(b"+?", np.uint8)[out["q"].astype(np.int32)],
+        )
+        seq_rows = seq_mat.tobytes()
+        qual_rows = qual_mat.tobytes()
+        Lrow = seq_mat.shape[1]
         results = []
+        ec_codes = out["ec_code"]
+        brutes = out["brute"]
+        n_ecs = out["n_ec"]
+        n_ech = out["n_ec_high"]
+        n_abs = out["n_absent"]
+        mhs = out["max_heap"]
+        ovf = out["overflow"]
         for i in range(n):
-            if out["overflow"][i]:
+            if ovf[i]:
                 ch = self._fallback_table()
-                st, s2, q2 = M.ec1(opt, ch, self.ds.mode, seqs[i], quals[i])
+                s_in, q_in = text_of(i)
+                st, s2, q2 = M.ec1(opt, ch, self.ds.mode, s_in, q_in)
                 results.append((st, s2, q2))
                 continue
-            st = M.EcStat(
-                ec_code=int(out["ec_code"][i]), brute=int(out["brute"][i]),
-                n_ec=int(out["n_ec"][i]), n_ec_high=int(out["n_ec_high"][i]),
-                n_absent=int(out["n_absent"][i]), rf_code=0,
-                max_heap=int(out["max_heap"][i]),
-            )
-            if st.ec_code != 0:
+            code = int(ec_codes[i])
+            if code != 0:
                 # on any failure the reference returns with the zero-
                 # initialized stats (correct.c:394 + early returns)
-                st.n_ec = st.n_ec_high = st.n_absent = st.max_heap = 0
-                results.append((st, seqs[i], quals[i]))
+                st = M.EcStat(ec_code=code, brute=int(brutes[i]))
+                s_in, q_in = text_of(i)
+                results.append((st, s_in, q_in))
                 continue
-            ln = lens[i]
-            fb = out["final_b"][i, :ln]
-            isd = out["is_diff"][i, :ln]
-            obv = out["ob"][i, :ln]
-            qv = out["q"][i, :ln]
-            seq_chars = np.where(
-                isd,
-                np.frombuffer(b"acgtn", np.uint8)[fb],
-                np.frombuffer(b"ACGTN", np.uint8)[fb],
+            st = M.EcStat(
+                ec_code=0, brute=int(brutes[i]),
+                n_ec=int(n_ecs[i]), n_ec_high=int(n_ech[i]),
+                n_absent=int(n_abs[i]), rf_code=0,
+                max_heap=int(mhs[i]),
             )
-            s2 = seq_chars.tobytes().decode("ascii")
-            if quals[i] is not None:
-                q_chars = np.where(
-                    isd, 34 + obv.astype(np.uint8),
-                    np.frombuffer(b"+?", np.uint8)[qv.astype(np.int32)],
-                )
-                q2 = q_chars.tobytes().decode("ascii")
-            else:
-                q2 = None
+            ln = int(lens[i])
+            base = i * Lrow
+            s2 = seq_rows[base : base + ln].decode("ascii")
+            q2 = qual_rows[base : base + ln].decode("ascii") if quals_present[i] else None
             results.append((st, s2, q2))
         return results

@@ -154,14 +154,17 @@ def count_stream_aggregate(
     pending: List[Tuple[str, Optional[str]]] = []
     n_reads = 0
 
+    pad_L = [0]  # sticky shape buckets: one compile per run in the common case
+
     def flush(pending):
         nonlocal agg, agg_cap, arrival_base
         seqs = [p[0] for p in pending]
         quals = [p[1] for p in pending]
         if all(q is None for q in quals):
             quals = None
-        L = _round_up(max(len(s) for s in seqs), 32)
-        B = _round_up(len(seqs), 256)
+        pad_L[0] = max(pad_L[0], _round_up(max(len(s) for s in seqs), 32))
+        L = pad_L[0]
+        B = batch_reads  # always the full batch: the tail is padded, not reshaped
         seqs = seqs + [""] * (B - len(seqs))
         if quals is not None:
             quals = quals + [""] * (B - len(quals))

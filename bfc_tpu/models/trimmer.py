@@ -53,7 +53,9 @@ def _bloom_build(rets, keep, bf_shift: int, n_hashes: int):
     # dedupe exact bit ids so a scatter-add performs a bitwise OR
     sent = U64((1 << bf_shift) + 1)
     key = jnp.where(keep_f, flat, sent)
-    skey = jax.lax.sort((key,), num_keys=1)[0]
+    lo = (key & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (key >> U64(32)).astype(jnp.uint32)
+    skey = key[spec.stable_order(lo, hi)]
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     uniq = first & (skey != sent)
     word = (skey >> U64(5)).astype(jnp.int64)

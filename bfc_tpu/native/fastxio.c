@@ -1,0 +1,119 @@
+/* Native FASTQ/FASTA chunk parser + base encoder.
+ *
+ * The native-runtime counterpart of the reference's bseq.c/kseq.h I/O
+ * layer (/root/reference/bseq.c, kseq.h): parses a buffer of 4-line
+ * FASTQ (or 2-line FASTA) records and writes 2-bit-codable base codes
+ * directly into a padded [max_reads, max_len] matrix, plus raw quality
+ * bytes and name/comment/sequence offsets into the source buffer.
+ *
+ * Only single-line records take this fast path; on any deviation
+ * (multi-line sequence, CR endings mid-record, malformed input) the
+ * function returns -1 and the Python caller falls back to the general
+ * parser in bfc_tpu.io.fastq.  Build: see bfc_tpu/native/build.py.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+static unsigned char BASE_CODE[256];
+static int base_code_init = 0;
+
+static void init_base_code(void) {
+    if (base_code_init) return;
+    memset(BASE_CODE, 4, 256);
+    BASE_CODE['A'] = BASE_CODE['a'] = 0;
+    BASE_CODE['C'] = BASE_CODE['c'] = 1;
+    BASE_CODE['G'] = BASE_CODE['g'] = 2;
+    BASE_CODE['T'] = BASE_CODE['t'] = 3;
+    base_code_init = 1;
+}
+
+/* Parse records from buf[0..n).  Returns the number of complete records
+ * parsed (stopping at max_reads, a sequence longer than max_len, or the
+ * end of the last complete record), or -1 if the buffer deviates from
+ * the single-line fast path.  *consumed is set to the byte offset just
+ * past the last parsed record. */
+long fastx_parse(
+    const char *buf, long n, int is_final,
+    long max_reads, long max_len,
+    unsigned char *bases,      /* [max_reads * max_len], pre-filled with 4 */
+    unsigned char *quals,      /* [max_reads * max_len], pre-filled with 0 */
+    int32_t *lens,             /* [max_reads] */
+    int64_t *name_off, int32_t *name_len,
+    int64_t *comm_off, int32_t *comm_len,   /* len -1 = no comment */
+    int64_t *seq_off,
+    int64_t *qual_off,         /* -1 = FASTA record */
+    int64_t *consumed)
+{
+    long i = 0, r = 0;
+    init_base_code();
+    *consumed = 0;
+    while (r < max_reads) {
+        long rec_start = i;
+        /* skip blank lines */
+        while (i < n && (buf[i] == '\n' || buf[i] == '\r')) i++;
+        rec_start = i;
+        if (i >= n) break;
+        char h = buf[i];
+        if (h != '@' && h != '>') return -1;
+        /* header line */
+        long hs = ++i;
+        while (i < n && buf[i] != '\n') i++;
+        if (i >= n) break;                       /* incomplete header */
+        long he = i;
+        if (he > hs && buf[he - 1] == '\r') he--;
+        i++;
+        /* name = up to first whitespace, comment = rest */
+        long ns = hs, ne = hs;
+        while (ne < he && buf[ne] != ' ' && buf[ne] != '\t') ne++;
+        /* sequence line */
+        long ss = i;
+        while (i < n && buf[i] != '\n') i++;
+        if (i >= n && !is_final) break;
+        long se = i;
+        if (se > ss && buf[se - 1] == '\r') se--;
+        long slen = se - ss;
+        if (slen > max_len) break;               /* caller re-pads and retries */
+        long qs = -1, qe = -1;
+        if (i < n) i++;
+        if (h == '@') {
+            /* '+' separator line */
+            if (i >= n) { if (!is_final) break; return -1; }
+            if (buf[i] != '+') return -1;        /* multi-line seq: slow path */
+            while (i < n && buf[i] != '\n') i++;
+            if (i >= n) break;
+            i++;
+            /* quality line */
+            qs = i;
+            while (i < n && buf[i] != '\n') i++;
+            if (i >= n && !is_final) break;
+            qe = i;
+            if (qe > qs && buf[qe - 1] == '\r') qe--;
+            if (qe - qs != slen) return -1;      /* multi-line qual: slow path */
+            if (i < n) i++;
+        } else {
+            /* FASTA fast path: next line must be a header (single-line seq) */
+            if (i < n && buf[i] != '>' && buf[i] != '@' && buf[i] != '\n')
+                return -1;
+        }
+        /* commit the record */
+        name_off[r] = ns; name_len[r] = (int32_t)(ne - ns);
+        if (ne < he) { comm_off[r] = ne + 1; comm_len[r] = (int32_t)(he - ne - 1); }
+        else { comm_off[r] = 0; comm_len[r] = -1; }
+        seq_off[r] = ss;
+        qual_off[r] = qs;
+        lens[r] = (int32_t)slen;
+        {
+            unsigned char *brow = bases + r * max_len;
+            const unsigned char *src = (const unsigned char *)buf + ss;
+            long j;
+            for (j = 0; j < slen; j++) brow[j] = BASE_CODE[src[j]];
+        }
+        if (qs >= 0)
+            memcpy(quals + r * max_len, buf + qs, slen);
+        r++;
+        *consumed = i;
+        (void)rec_start;
+    }
+    return r;
+}

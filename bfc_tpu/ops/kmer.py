@@ -240,22 +240,33 @@ for _i, _c in enumerate(b"acgt"):
 
 
 def encode_batch(seqs, quals, q_thres: int, pad_to=None):
-    """Encode python reads into padded (bases, qual_ok, lengths) arrays."""
+    """Encode python reads into padded (bases, qual_ok, lengths) arrays.
+
+    Whole-batch vectorized: one flat decode + a single scatter, no
+    per-read numpy calls."""
     B = len(seqs)
-    L = max((len(s) for s in seqs), default=0)
+    lens = np.fromiter((len(s) for s in seqs), np.int32, count=B) if B else np.zeros(0, np.int32)
+    L = int(lens.max()) if B else 0
     if pad_to is not None:
         L = max(L, pad_to)
     bases = np.full((B, L), 4, dtype=np.uint8)
     qok = np.zeros((B, L), dtype=bool)
-    lens = np.zeros((B,), dtype=np.int32)
-    for i, s in enumerate(seqs):
-        n = len(s)
-        lens[i] = n
-        bases[i, :n] = _BASE_LUT[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
-        qv = quals[i] if quals is not None else None
-        if qv is None:
-            qok[i, :n] = True
-        else:
-            qarr = np.frombuffer(qv.encode("ascii"), dtype=np.uint8)
-            qok[i, :n] = (qarr.astype(np.int32) - 33) >= q_thres
+    if B == 0:
+        return bases, qok, lens
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(B), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cols = np.arange(total) - np.repeat(offs, lens)
+    flat_seq = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
+    bases[rows, cols] = _BASE_LUT[flat_seq]
+    if quals is None:
+        qok[rows, cols] = True
+    else:
+        # per-read None entries are allowed (FASTA records): treat as all-OK
+        flat_q = np.frombuffer(
+            "".join(q if q is not None else "\x7f" * l
+                    for q, l in zip(quals, lens)).encode("ascii"),
+            np.uint8,
+        )
+        qok[rows, cols] = flat_q.astype(np.int32) - 33 >= q_thres
     return bases, qok, lens

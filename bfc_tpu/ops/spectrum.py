@@ -37,6 +37,30 @@ U32 = jnp.uint32
 INVALID_SHARD = jnp.uint32(0xFFFFFFFF)
 
 
+def stable_order(*keys_lsb_first):
+    """Permutation sorting lexicographically by keys (most-significant last).
+
+    Implemented as LSD-radix passes of a single stable (u32 key, u32
+    perm) lax.sort - every sort in the engine funnels through this one
+    comparator shape, because TPU sort compile time grows steeply with
+    operand count/width (a 7-operand u64 sort takes minutes to compile;
+    this kernel compiles in seconds and is reused for every pass).
+
+    Keys are u32 arrays, least-significant first.  Wider keys must be
+    pre-split into u32 halves by the caller.
+    """
+    N = keys_lsb_first[0].shape[0]
+    perm = jnp.arange(N, dtype=jnp.uint32)
+    for key in keys_lsb_first:
+        kcur = key[perm]
+        _, perm = jax.lax.sort((kcur, perm), num_keys=1, is_stable=True)
+    return perm
+
+
+def _split64(x):
+    return (x & U64(0xFFFFFFFF)).astype(U32), (x >> U64(32)).astype(U32)
+
+
 class Aggregate(NamedTuple):
     """Per-distinct-k-mer partial aggregates (padded; valid where shard != INVALID)."""
 
@@ -53,11 +77,24 @@ def _segment_combine(shard, keybody, ret, n, n_high, first_arr, first_high, cap:
     """Sort entries by (shard, keybody, first_arr) and merge equal keys.
 
     Entries with shard == INVALID_SHARD are padding and combine to
-    nothing.  Returns an Aggregate of capacity cap (>= #groups)."""
+    nothing.  Returns an Aggregate of capacity cap (>= #groups).
+
+    PRECONDITION: entries with equal (shard, keybody) appear in
+    ascending first_arr order in the input (true for the raw k-mer
+    stream, which is in arrival order, and for aggregate merges, where
+    the earlier aggregate precedes the later chunk) - the stable radix
+    order then makes the first element of each group the earliest
+    occurrence without sorting on first_arr."""
     N = shard.shape[0]
-    shard, keybody, first_arr, ret, n, n_high, first_high = jax.lax.sort(
-        (shard, keybody, first_arr, ret, n, n_high, first_high), num_keys=3
-    )
+    kb_lo, kb_hi = _split64(keybody)
+    src = stable_order(kb_lo, kb_hi, shard)
+    shard = shard[src]
+    keybody = keybody[src]
+    first_arr = first_arr[src]
+    ret = ret[src]
+    n = n[src]
+    n_high = n_high[src]
+    first_high = first_high[src]
     valid = shard != INVALID_SHARD
     prev_same = jnp.concatenate(
         [
@@ -191,8 +228,11 @@ def adjudicate_first_occurrence(agg: Aggregate, bf_shift: int, n_hashes: int):
     flat_valid = jnp.broadcast_to(valid[:, None], (C, H)).reshape(-1)
     sent = U64(0xFFFFFFFFFFFFFFFF)
     key_bits = jnp.where(flat_valid, flat_bits, sent)
-    src = jnp.arange(C * H, dtype=jnp.uint32)
-    sb, sa, ssrc = jax.lax.sort((key_bits, flat_arr, src), num_keys=2)
+    a_lo, a_hi = _split64(flat_arr)
+    b_lo, b_hi = _split64(key_bits)
+    ssrc = stable_order(a_lo, a_hi, b_lo, b_hi)
+    sb = key_bits[ssrc]
+    sa = flat_arr[ssrc]
     first = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
     # forward-fill each bit-group's min arrival (= first element's arrival,
     # since the sort is keyed by (bit, arrival))
@@ -280,7 +320,7 @@ def build_table(shard, keybody, payload, keep, s_bits: int, margin: int,
     (shard, keybody) with dropped entries marked INVALID)."""
     C = shard.shape[0]
     # compact kept entries to the front, preserving sorted order
-    order = jnp.argsort(~keep, stable=True)
+    order = stable_order((~keep).astype(U32))
     shard = shard[order]
     keybody = keybody[order]
     payload = payload[order]

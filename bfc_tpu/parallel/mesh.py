@@ -84,7 +84,7 @@ def sharded_chunk_aggregate(bases, qual_ok, lens, arrival_base, k: int,
         dest = jnp.where(valid, _dev_of_shard(shard, l_pre, n_dev), n_dev)
         # bucket by destination: sort by dest, then scatter into fixed
         # [n_dev, bucket_cap] send buffers (per-dest overflow detected)
-        order = jnp.argsort(dest, stable=True)
+        order = spec.stable_order(dest.astype(jnp.uint32))
         dest_s = dest[order]
         rank = jnp.arange(dest_s.shape[0]) - jnp.searchsorted(
             dest_s, dest_s, side="left"
@@ -180,7 +180,7 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
             n_dev,
         )
         cap_ev = (C * H) // n_dev * 2 + 64
-        order = jnp.argsort(dest, stable=True)
+        order = spec.stable_order(dest.astype(jnp.uint32))
         dest_s = dest[order]
         rank = jnp.arange(dest_s.shape[0]) - jnp.searchsorted(dest_s, dest_s, "left")
         counts = jnp.bincount(jnp.minimum(dest_s, n_dev), length=n_dev + 1)[:n_dev]
@@ -204,9 +204,13 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
         r_bit = xch(b_bit).reshape(-1)
         r_arr = xch(b_arr).reshape(-1)
         # local per-bit min arrival; events with identical bits collide here
-        kb, ka, ksrc = jax.lax.sort(
-            (r_bit, r_arr, jnp.arange(r_bit.shape[0], dtype=U32)), num_keys=2
-        )
+        a_lo = (r_arr & U64(0xFFFFFFFF)).astype(U32)
+        a_hi = (r_arr >> U64(32)).astype(U32)
+        b_lo = (r_bit & U64(0xFFFFFFFF)).astype(U32)
+        b_hi = (r_bit >> U64(32)).astype(U32)
+        ksrc = spec.stable_order(a_lo, a_hi, b_lo, b_hi)
+        kb = r_bit[ksrc]
+        ka = r_arr[ksrc]
         first = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
         min_arr = spec._forward_fill(jnp.where(first, ka, U64(0)), first)
         was_set = (min_arr < ka) & (kb != sent)

@@ -1,0 +1,66 @@
+"""Native FASTQ batch parser vs the tolerant Python parser."""
+
+import numpy as np
+import pytest
+
+from bfc_tpu.io import fast_reader as FR
+from bfc_tpu.io import fastq as slow_io
+from bfc_tpu.native.build import get_lib
+
+from . import datagen
+
+
+def collect(fn, batch_reads=257):
+    out = []
+    for b in FR.iter_batches(fn, batch_reads):
+        for i in range(b.n):
+            out.append((b.name(i), b.comment(i), b.seq(i), b.qual(i)))
+    return out
+
+
+def reference(fn):
+    return [(r.name, r.comment, r.seq, r.qual) for r in slow_io.read_fastx(fn)]
+
+
+def test_native_lib_builds():
+    assert get_lib() is not None
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_fastq_parity(tmp_path, gz):
+    path = datagen.standard_dataset(
+        str(tmp_path), genome_len=3000, n_reads=700,
+        name="reads.fq.gz" if gz else "reads.fq", gz=gz,
+    )
+    assert collect(path) == reference(path)
+
+
+def test_fasta_parity(tmp_path):
+    genome = datagen.make_genome(2000, seed=9)
+    reads = [(s, None) for s, _ in datagen.simulate_reads(genome, 300, seed=10)]
+    path = f"{tmp_path}/reads.fa"
+    datagen.write_fastq(path, reads)
+    assert collect(path) == reference(path)
+
+
+def test_comments_and_arrays(tmp_path):
+    path = f"{tmp_path}/c.fq"
+    with open(path, "w") as f:
+        f.write("@r1 some comment here\nACGTN\n+\nIIII#\n")
+        f.write("@r2\nGGGG\n+\n!!!!\n")
+    got = collect(path)
+    assert got == [("r1", "some comment here", "ACGTN", "IIII#"),
+                   ("r2", None, "GGGG", "!!!!")]
+    b = next(FR.iter_batches(path, 16))
+    np.testing.assert_array_equal(b.bases[0, :5], [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(b.lens, [5, 4])
+    assert bytes(b.quals[0, :5]) == b"IIII#"
+
+
+def test_multiline_fallback(tmp_path):
+    path = f"{tmp_path}/m.fa"
+    with open(path, "w") as f:
+        f.write(">long record\nACGTACGT\nGGGGCCCC\nTTTT\n>x\nACGT\n")
+    got = collect(path)
+    assert got == [("long", "record", "ACGTACGTGGGGCCCCTTTT", None),
+                   ("x", None, "ACGT", None)]
