@@ -137,51 +137,68 @@ def restore_spectrum(fn: str) -> DeviceSpectrum:
 # Streaming counting driver
 # ---------------------------------------------------------------------------
 
+class AggBuilder:
+    """Incremental per-distinct-k-mer aggregation over padded batches.
+
+    Feeds fixed-shape encoded batches through chunk_aggregate and merges
+    into a running capacity-adaptive aggregate (arrival order must be
+    the stream order across add() calls)."""
+
+    def __init__(self, opt: Opts, initial_cap: int = 1 << 20):
+        self.opt = opt
+        self.k = opt.k
+        self.l_pre = opt.effective_l_pre()
+        self.agg = None
+        self.agg_cap = initial_cap
+        self.arrival_base = 0
+
+    def add(self, bases, qok, lens) -> None:
+        B, L = bases.shape
+        chunk, _ = spec.chunk_aggregate(
+            jnp.asarray(bases), jnp.asarray(qok), jnp.asarray(lens),
+            jnp.uint64(self.arrival_base), self.k, self.l_pre, B * L,
+        )
+        self.arrival_base += B * L
+        prev = self.agg if self.agg is not None else _empty_agg(1)
+        while True:
+            self.agg, g2 = spec.merge_aggregates(prev, chunk, self.agg_cap)
+            if int(g2) <= self.agg_cap:
+                break
+            # overflow: retry the merge at doubled capacity (inputs intact)
+            self.agg_cap *= 2
+
+    def finish(self) -> spec.Aggregate:
+        if self.agg is None:
+            self.agg, _ = spec.merge_aggregates(_empty_agg(1), _empty_agg(1), 16)
+        return self.agg
+
+
 def count_stream_aggregate(
     read_iter: Iterable[Tuple[str, Optional[str]]],
     opt: Opts,
     batch_reads: int = 4096,
 ):
-    """Stream reads into the per-distinct-k-mer aggregate.
+    """Stream (seq, qual) pairs into the per-distinct-k-mer aggregate.
 
     Returns (aggregate, n_reads); shared by the normal counting pass and
     the filter-mode Bloom build."""
-    k = opt.k
-    l_pre = opt.effective_l_pre()
-    agg = None
-    agg_cap = 1 << 20
-    arrival_base = 0
+    builder = AggBuilder(opt)
     pending: List[Tuple[str, Optional[str]]] = []
     n_reads = 0
-
     pad_L = [0]  # sticky shape buckets: one compile per run in the common case
 
     def flush(pending):
-        nonlocal agg, agg_cap, arrival_base
         seqs = [p[0] for p in pending]
         quals = [p[1] for p in pending]
         if all(q is None for q in quals):
             quals = None
         pad_L[0] = max(pad_L[0], _round_up(max(len(s) for s in seqs), 32))
-        L = pad_L[0]
         B = batch_reads  # always the full batch: the tail is padded, not reshaped
         seqs = seqs + [""] * (B - len(seqs))
         if quals is not None:
             quals = quals + [""] * (B - len(quals))
-        bases, qok, lens = kops.encode_batch(seqs, quals, opt.q, pad_to=L)
-        chunk_cap = B * L
-        chunk, _ = spec.chunk_aggregate(
-            jnp.asarray(bases), jnp.asarray(qok), jnp.asarray(lens),
-            jnp.uint64(arrival_base), k, l_pre, chunk_cap,
-        )
-        arrival_base += B * L
-        prev = agg if agg is not None else _empty_agg(1)
-        while True:
-            agg, g2 = spec.merge_aggregates(prev, chunk, agg_cap)
-            if int(g2) <= agg_cap:
-                break
-            # overflow: retry the merge at doubled capacity (inputs intact)
-            agg_cap *= 2
+        bases, qok, lens = kops.encode_batch(seqs, quals, opt.q, pad_to=pad_L[0])
+        builder.add(bases, qok, lens)
 
     for seq, qual in read_iter:
         pending.append((seq, qual))
@@ -191,9 +208,38 @@ def count_stream_aggregate(
             pending = []
     if pending:
         flush(pending)
-    if agg is None:
-        agg, _ = spec.merge_aggregates(_empty_agg(1), _empty_agg(1), 16)
-    return agg, n_reads
+    return builder.finish(), n_reads
+
+
+def count_batches_aggregate(fn: str, opt: Opts, batch_reads: int = 8192):
+    """Aggregate a FASTQ file via the native batched reader (hot path)."""
+    from ..io import fast_reader as FR
+
+    builder = AggBuilder(opt)
+    n_reads = 0
+    pad_L = [0]
+    for rb in FR.iter_batches(fn, batch_reads):
+        n = rb.n
+        n_reads += n
+        lens0 = rb.lens
+        pad_L[0] = max(pad_L[0], _round_up(int(lens0.max()) if n else 1, 32))
+        L = pad_L[0]
+        B = batch_reads
+        Lc = min(L, rb.bases.shape[1])
+        bases = np.full((B, L), 4, np.uint8)
+        bases[:n, :Lc] = rb.bases[:, :Lc]
+        lens = np.zeros((B,), np.int32)
+        lens[:n] = lens0
+        qok = np.zeros((B, L), bool)
+        has_q = rb.has_qual()
+        inb = np.arange(Lc)[None, :] < lens0[:, None]
+        qok[:n, :Lc] = np.where(
+            has_q[:, None],
+            rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q,
+            inb,
+        )
+        builder.add(bases, qok, lens)
+    return builder.finish(), n_reads
 
 
 def count_stream(
@@ -202,11 +248,15 @@ def count_stream(
     batch_reads: int = 4096,
 ) -> DeviceSpectrum:
     """Counting pass over (seq, qual) pairs in stream order."""
-    k = opt.k
-    l_pre = opt.effective_l_pre()
     agg, n_reads = count_stream_aggregate(read_iter, opt, batch_reads=batch_reads)
     log(f"processed {n_reads} sequences")
+    return finalize_spectrum(agg, opt)
 
+
+def finalize_spectrum(agg: spec.Aggregate, opt: Opts) -> DeviceSpectrum:
+    """Adjudicate + payloads + lookup-table build from an aggregate."""
+    k = opt.k
+    l_pre = opt.effective_l_pre()
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
         agg, opt.bf_shift, opt.n_hashes
     )
@@ -246,6 +296,8 @@ def _empty_agg(n: int) -> spec.Aggregate:
     )
 
 
-def count_file_device(fn: str, opt: Opts, batch_reads: int = 4096) -> DeviceSpectrum:
-    reads = ((r.seq, r.qual) for r in read_fastx(fn, keep_comment=False))
-    return count_stream(reads, opt, batch_reads=batch_reads)
+def count_file_device(fn: str, opt: Opts, batch_reads: int = 8192) -> DeviceSpectrum:
+    """Counting pass over a FASTQ file (native batched reader)."""
+    agg, n_reads = count_batches_aggregate(fn, opt, batch_reads=batch_reads)
+    log(f"processed {n_reads} sequences")
+    return finalize_spectrum(agg, opt)

@@ -23,61 +23,71 @@ from .trimmer import DeviceBloom, Trimmer, count_file_filter_device
 
 def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
                         out: List[str], batch_reads: int = 2048) -> None:
+    from ..io import fast_reader as FR
+
     corr = Corrector(opt, ds)
-    pending: List[Read] = []
     n_done = 0
-
-    def flush():
-        nonlocal n_done
-        if not pending:
-            return
-        todo_idx = []
-        ori_sts: List[Optional[M.EcStat]] = []
-        for i, r in enumerate(pending):
-            skip = False
-            ori = None
-            if opt.refine_ec and r.comment and r.comment.startswith("ec:Z:"):
-                ori = parse_stats(r.comment[5:])
-                if ori.ec_code == 0 and ori.max_heap < 50:
-                    skip = True
-            if not skip:
-                r.comment = None
-                todo_idx.append(i)
-                ori_sts.append(ori)
-        if todo_idx:
-            res = corr.correct_batch(
-                [pending[i].seq for i in todo_idx],
-                [pending[i].qual for i in todo_idx],
+    for rb in FR.iter_batches(fn, batch_reads):
+        n = rb.n
+        if opt.refine_ec:
+            _refine_batch(rb, opt, corr, out)
+        else:
+            res = corr.correct_arrays(
+                rb.bases, rb.quals, rb.lens, rb.has_qual(),
+                lambda i: (rb.seq(i), rb.qual(i)),
             )
-            for j, i in enumerate(todo_idx):
-                st, s2, q2 = res[j]
-                r = pending[i]
-                if opt.refine_ec:
-                    # refine bookkeeping (correct.c:438-442,470; rf_code
-                    # 1 = failed, 2 = reverted to prior result, 3 = refined)
-                    st.rf_code = 1
-                    ori = ori_sts[j]
-                    if st.ec_code == 0:
-                        if (ori is not None and ori.ec_code == 0
-                                and st.n_absent > ori.n_absent):
-                            st = dataclasses.replace(ori)
-                            st.rf_code = 2
-                            s2, q2 = r.seq, r.qual
-                        else:
-                            st.rf_code = 3
-                r.seq, r.qual = s2, q2
+            for i, (st, s2, q2) in enumerate(res):
+                r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
                 r.aux, r.aux2 = pack_stats(st)
-        for r in pending:
-            format_corrected(r, opt.no_qual, False, opt.discard, out)
-        n_done += len(pending)
+                format_corrected(r, opt.no_qual, False, opt.discard, out)
+        n_done += n
         log(f"processed {n_done} sequences", func="correct_file_device")
-        pending.clear()
 
-    for r in read_fastx(fn, keep_comment=opt.refine_ec):
-        pending.append(r)
-        if len(pending) >= batch_reads:
-            flush()
-    flush()
+
+def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
+    """Refine-mode batch: per-read ec:Z parsing, skip/revert bookkeeping
+    (correct.c:438-442,470,542-545; rf_code 1 = failed, 2 = reverted,
+    3 = refined)."""
+    n = rb.n
+    todo_idx = []
+    ori_sts: List[Optional[M.EcStat]] = []
+    reads: List[Read] = []
+    for i in range(n):
+        r = Read(name=rb.name(i), comment=rb.comment(i), seq=rb.seq(i),
+                 qual=rb.qual(i))
+        reads.append(r)
+        skip = False
+        ori = None
+        if r.comment and r.comment.startswith("ec:Z:"):
+            ori = parse_stats(r.comment[5:])
+            if ori.ec_code == 0 and ori.max_heap < 50:
+                skip = True
+        if not skip:
+            r.comment = None
+            todo_idx.append(i)
+            ori_sts.append(ori)
+    if todo_idx:
+        res = corr.correct_batch(
+            [reads[i].seq for i in todo_idx],
+            [reads[i].qual for i in todo_idx],
+        )
+        for j, i in enumerate(todo_idx):
+            st, s2, q2 = res[j]
+            r = reads[i]
+            st.rf_code = 1
+            ori = ori_sts[j]
+            if st.ec_code == 0:
+                if (ori is not None and ori.ec_code == 0
+                        and st.n_absent > ori.n_absent):
+                    st = dataclasses.replace(ori)
+                    st.rf_code = 2
+                    s2, q2 = r.seq, r.qual
+                else:
+                    st.rf_code = 3
+            r.seq, r.qual = s2, q2
+            r.aux, r.aux2 = pack_stats(st)
+    for r in reads:
+        format_corrected(r, opt.no_qual, False, opt.discard, out)
 
 
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
