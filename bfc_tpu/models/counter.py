@@ -166,6 +166,9 @@ class AggBuilder:
                 break
             # overflow: retry the merge at doubled capacity (inputs intact)
             self.agg_cap *= 2
+        self.n_batches = getattr(self, "n_batches", 0) + 1
+        log(f"aggregated batch {self.n_batches}: {int(g2)} distinct k-mers",
+            func="AggBuilder")
 
     def finish(self) -> spec.Aggregate:
         if self.agg is None:

@@ -9,6 +9,14 @@ exactly - including tie behavior (new/equal elements rise, heapdown
 prefers the left child on ties) - because the reference's output
 depends on structural tie-breaking among equal penalties.
 
+Layout: heap entries are immutable once pushed, so the heap itself only
+carries (tot_pen, stack_index, position) triples and the sift loops
+move three flat arrays; the full per-state payload (k-mer planes,
+correction-position history, backtrack links) is written once into the
+stack pool at push time and read once at pop.  The 5+2 recent
+correction positions (BFC_EC_HIST/BFC_EC_HIST_HIGH) are packed into a
+single u64 as 9-bit pos+1 fields.
+
 Fixed capacities (heap 128 >= the reference's ~104 reachable maximum
 given the max_heap=100 explosion guard at correct.c:349; stack/iter
 caps are config) with per-read overflow flags; overflowed reads are
@@ -30,6 +38,12 @@ I32 = jnp.int32
 U64 = jnp.uint64
 BIG = jnp.int32(1 << 30)
 HEAP_LEVELS = 7  # ceil(log2(heap_cap)); heap_cap fixed at 128
+
+# packed ecpos layout: bits [44:0] five 9-bit ec slots (newest at bits
+# [8:0]), bits [62:45] two 9-bit high-quality slots (newest at [53:45]);
+# each slot stores pos+1 (0 = none), mirroring ecpos[]/ecpos_high[]
+_EC_MASK = U64((1 << 45) - 1)
+_EPH_MASK = U64((1 << 18) - 1)
 
 
 class SearchConfig(NamedTuple):
@@ -54,131 +68,108 @@ class SearchConfig(NamedTuple):
 
 
 class State(NamedTuple):
-    # heap entries (echeap1_t: correct.c:153-160)
+    # heap: (pen, stack index, position) triples; k = -1 marks the root state
     hp_pen: jax.Array   # i32 [B,H]
+    hp_k: jax.Array     # i32 [B,H]
     hp_i: jax.Array     # i32 [B,H]
-    hp_k: jax.Array     # i32 [B,H] stack back-pointer
-    hp_eph: jax.Array   # i32 [B,H,2] last high-quality correction positions
-    hp_ep: jax.Array    # i32 [B,H,5] last correction positions
-    hp_x0: jax.Array    # u64 [B,H] k-mer planes
-    hp_x1: jax.Array
-    hp_x2: jax.Array
-    hp_x3: jax.Array
     heap_n: jax.Array   # i32 [B]
-    # stack entries (ecstack1_t: correct.c:162-167)
-    st_parent: jax.Array  # i32 [B,S]
-    st_i: jax.Array       # i32 [B,S]
-    st_b: jax.Array       # i32 [B,S]
-    st_flags: jax.Array   # i32 [B,S]: ec | ec_high<<1 | absent<<2 | absent_high<<3
-    st_tot: jax.Array     # i32 [B,S]
-    st_n: jax.Array       # i32 [B]
+    # stack pool (ecstack1_t + the per-state payload)
+    st_meta: jax.Array  # i32 [B,S]: i<<16 | (parent+1)<<6 | b<<4 | flags
+    st_tot: jax.Array   # i32 [B,S]
+    st_ecp: jax.Array   # u64 [B,S] packed correction-position history
+    st_x0: jax.Array    # u64 [B,S] k-mer planes
+    st_x1: jax.Array
+    st_x2: jax.Array
+    st_x3: jax.Array
+    st_n: jax.Array     # i32 [B]
+    # root (initial) state payload, addressed by k == -1
+    root_x0: jax.Array  # u64 [B]
+    root_x1: jax.Array
+    root_x2: jax.Array
+    root_x3: jax.Array
     # per-read search registers
     min_path_pen: jax.Array  # i32 [B]
-    min_path_k: jax.Array    # i32 [B] stack index of current best stopped path
+    min_path_k: jax.Array    # i32 [B]
     n_paths: jax.Array       # i32 [B]
     n_failures: jax.Array    # i32 [B]
-    rv: jax.Array            # i32 [B]: -1/-2/-3 failure codes (valid when done)
+    rv: jax.Array            # i32 [B]
     done: jax.Array          # bool [B]
     overflow: jax.Array      # bool [B]
     max_heap: jax.Array      # i32 [B]
     it: jax.Array            # i32 scalar
 
 
-def _rows(B):
-    return jnp.arange(B)
+def _rows(n):
+    return jnp.arange(n)
 
 
-def _hgather(st: State, pos):
-    """Gather full heap entries at per-read positions pos [B]."""
-    B = pos.shape[0]
-    r = _rows(B)
-    return dict(
-        pen=st.hp_pen[r, pos], i=st.hp_i[r, pos], k=st.hp_k[r, pos],
-        eph=st.hp_eph[r, pos, :], ep=st.hp_ep[r, pos, :],
-        x0=st.hp_x0[r, pos], x1=st.hp_x1[r, pos], x2=st.hp_x2[r, pos],
-        x3=st.hp_x3[r, pos],
-    )
-
-
-def _hscatter(st: State, pos, e, mask):
-    """Write heap entry e at pos where mask (dropped elsewhere)."""
-    B = pos.shape[0]
+def heap_push(st: State, pen, kidx, pos, mask) -> State:
+    """ks_heapup insert of a (pen,k,i) triple (ksort.h:137-146)."""
+    B = pen.shape[0]
     r = _rows(B)
     H = st.hp_pen.shape[1]
-    p = jnp.where(mask, pos, H + 1)
-    return st._replace(
-        hp_pen=st.hp_pen.at[r, p].set(e["pen"], mode="drop"),
-        hp_i=st.hp_i.at[r, p].set(e["i"], mode="drop"),
-        hp_k=st.hp_k.at[r, p].set(e["k"], mode="drop"),
-        hp_eph=st.hp_eph.at[r, p, :].set(e["eph"], mode="drop"),
-        hp_ep=st.hp_ep.at[r, p, :].set(e["ep"], mode="drop"),
-        hp_x0=st.hp_x0.at[r, p].set(e["x0"], mode="drop"),
-        hp_x1=st.hp_x1.at[r, p].set(e["x1"], mode="drop"),
-        hp_x2=st.hp_x2.at[r, p].set(e["x2"], mode="drop"),
-        hp_x3=st.hp_x3.at[r, p].set(e["x3"], mode="drop"),
-    )
-
-
-def _hcopy(st: State, src, dst, mask):
-    """Copy heap entry src -> dst per read where mask."""
-    return _hscatter(st, dst, _hgather(st, src), mask)
-
-
-def heap_push(st: State, e, mask) -> State:
-    """ks_heapup insert (ksort.h:137-146): new entries rise past ties."""
-    pos = jnp.where(mask, st.heap_n, 0)
-    k = pos
+    k = jnp.where(mask, st.heap_n, 0)
     sifting = mask
+    hp_pen, hp_k, hp_i = st.hp_pen, st.hp_k, st.hp_i
     for _ in range(HEAP_LEVELS):
         parent = jnp.maximum((k - 1) >> 1, 0)
-        par_pen = st.hp_pen[_rows(k.shape[0]), parent]
-        move = sifting & (k > 0) & (e["pen"] <= par_pen)
-        st = _hcopy(st, parent, k, move)
+        move = sifting & (k > 0) & (pen <= hp_pen[r, parent])
+        dst = jnp.where(move, k, H + 1)
+        hp_pen = hp_pen.at[r, dst].set(hp_pen[r, parent], mode="drop")
+        hp_k = hp_k.at[r, dst].set(hp_k[r, parent], mode="drop")
+        hp_i = hp_i.at[r, dst].set(hp_i[r, parent], mode="drop")
         k = jnp.where(move, parent, k)
         sifting = move
-    st = _hscatter(st, k, e, mask)
-    return st._replace(heap_n=st.heap_n + mask.astype(I32))
+    dst = jnp.where(mask, k, H + 1)
+    return st._replace(
+        hp_pen=hp_pen.at[r, dst].set(pen, mode="drop"),
+        hp_k=hp_k.at[r, dst].set(kidx, mode="drop"),
+        hp_i=hp_i.at[r, dst].set(pos, mode="drop"),
+        heap_n=st.heap_n + mask.astype(I32),
+    )
 
 
 def heap_pop(st: State, mask):
-    """Pop the root; sift the last element down (ksort.h:125-136)."""
+    """Pop the root; sift the last element down (ksort.h:125-136).
+
+    Returns (state, z_pen, z_k, z_i)."""
     B = st.heap_n.shape[0]
     r = _rows(B)
-    root = _hgather(st, jnp.zeros((B,), I32))
+    H = st.hp_pen.shape[1]
+    z_pen = st.hp_pen[:, 0]
+    z_k = st.hp_k[:, 0]
+    z_i = st.hp_i[:, 0]
     n2 = jnp.where(mask, st.heap_n - 1, st.heap_n)
-    last = _hgather(st, jnp.maximum(n2, 0))
-    st = st._replace(heap_n=n2)
-    # place `last` from the root downward
+    lastp = jnp.maximum(n2, 0)
+    l_pen = st.hp_pen[r, lastp]
+    l_k = st.hp_k[r, lastp]
+    l_i = st.hp_i[r, lastp]
+    hp_pen, hp_k, hp_i = st.hp_pen, st.hp_k, st.hp_i
     i = jnp.zeros((B,), I32)
     sifting = mask & (n2 > 0)
     for _ in range(HEAP_LEVELS):
         child = 2 * i + 1
         act = sifting & (child < n2)
-        childc = jnp.minimum(child, jnp.maximum(n2 - 1, 0))
-        right = st.hp_pen[r, jnp.minimum(childc + 1, jnp.maximum(n2 - 1, 0))]
-        pick_right = act & (child != n2 - 1) & (st.hp_pen[r, childc] > right)
-        c = jnp.where(pick_right, childc + 1, childc)
-        c_pen = st.hp_pen[r, c]
-        cont = act & ~(c_pen > last["pen"])
-        st = _hcopy(st, c, i, cont)
+        top = jnp.maximum(n2 - 1, 0)
+        cc = jnp.minimum(child, top)
+        right = hp_pen[r, jnp.minimum(cc + 1, top)]
+        pick_right = act & (child != n2 - 1) & (hp_pen[r, cc] > right)
+        c = jnp.where(pick_right, cc + 1, cc)
+        cont = act & ~(hp_pen[r, c] > l_pen)
+        dst = jnp.where(cont, i, H + 1)
+        hp_pen = hp_pen.at[r, dst].set(hp_pen[r, c], mode="drop")
+        hp_k = hp_k.at[r, dst].set(hp_k[r, c], mode="drop")
+        hp_i = hp_i.at[r, dst].set(hp_i[r, c], mode="drop")
         i = jnp.where(cont, c, i)
         sifting = cont
-    st = _hscatter(st, i, last, mask & (n2 > 0))
-    return st, root
-
-
-def _sscatter(st: State, pos, mask, parent, i, b, flags, tot):
-    B = pos.shape[0]
-    r = _rows(B)
-    S = st.st_parent.shape[1]
-    p = jnp.where(mask, jnp.minimum(pos, S - 1), S + 1)
-    return st._replace(
-        st_parent=st.st_parent.at[r, p].set(parent, mode="drop"),
-        st_i=st.st_i.at[r, p].set(i, mode="drop"),
-        st_b=st.st_b.at[r, p].set(b, mode="drop"),
-        st_flags=st.st_flags.at[r, p].set(flags, mode="drop"),
-        st_tot=st.st_tot.at[r, p].set(tot, mode="drop"),
+    dst = jnp.where(mask & (n2 > 0), i, H + 1)
+    st = st._replace(
+        hp_pen=hp_pen.at[r, dst].set(l_pen, mode="drop"),
+        hp_k=hp_k.at[r, dst].set(l_k, mode="drop"),
+        hp_i=hp_i.at[r, dst].set(l_i, mode="drop"),
+        heap_n=n2,
     )
+    return st, z_pen, z_k, z_i
 
 
 def _weighted(cfg: SearchConfig, ec, ec_high, absent, absent_high):
@@ -190,46 +181,20 @@ def _weighted(cfg: SearchConfig, ec, ec_high, absent, absent_high):
     )
 
 
-def buf_update(st: State, cfg: SearchConfig, z, mask, b, pen_ec, pen_ec_high,
-               pen_absent, pen_absent_high) -> State:
-    """Push one branch: stack append + heap insert (correct.c:198-230)."""
-    tot = z["pen"] + _weighted(cfg, pen_ec, pen_ec_high, pen_absent, pen_absent_high)
-    flags = (
-        pen_ec.astype(I32)
-        | (pen_ec_high.astype(I32) << 1)
-        | (pen_absent.astype(I32) << 2)
-        | (pen_absent_high.astype(I32) << 3)
+def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
+    """Update the packed correction-position history (buf_update,
+    correct.c:217-224): shift in pos+1 at the newest slot per class."""
+    slot = (zi + 1).astype(U64)
+    ec_part = ecp & _EC_MASK
+    eph_part = (ecp >> U64(45)) & _EPH_MASK
+    new_ec = jnp.where(pen_ec, ((ec_part << U64(9)) & _EC_MASK) | slot, ec_part)
+    new_eph = jnp.where(
+        pen_ec_high, ((eph_part << U64(9)) & _EPH_MASK) | slot, eph_part
     )
-    over = mask & (st.st_n >= cfg.stack_cap)
-    mask = mask & ~over
-    st = _sscatter(st, st.st_n, mask, z["k"], z["i"], b, flags, tot)
-    new_k = st.st_n
-    st = st._replace(
-        st_n=st.st_n + mask.astype(I32),
-        overflow=st.overflow | over,
-        done=st.done | over,
-    )
-    x0, x1, x2, x3 = kops.append_base(z["x0"], z["x1"], z["x2"], z["x3"], b, cfg.k)
-    eph = jnp.where(
-        pen_ec_high[:, None],
-        jnp.concatenate([z["i"][:, None], z["eph"][:, :-1]], axis=1),
-        z["eph"],
-    )
-    ep = jnp.where(
-        pen_ec[:, None],
-        jnp.concatenate([z["i"][:, None], z["ep"][:, :-1]], axis=1),
-        z["ep"],
-    )
-    e = dict(pen=tot, i=z["i"] + 1, k=new_k, eph=eph, ep=ep,
-             x0=x0, x1=x1, x2=x2, x3=x3)
-    over2 = mask & (st.heap_n >= cfg.heap_cap)
-    mask = mask & ~over2
-    st = st._replace(overflow=st.overflow | over2, done=st.done | over2)
-    return heap_push(st, e, mask)
+    return new_ec | (new_eph << U64(45))
 
 
 def _occ_of(table: spec.Table, cfg: SearchConfig, x0, x1, x2, x3):
-    """Batched spectrum lookup from 4-plane k-mer states."""
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
     return spec.table_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits)
@@ -256,29 +221,26 @@ def ec1dir_batch(
     failure codes (correct.c:277-280,288,342-347)."""
     B, L = seq_b.shape
     H, S = cfg.heap_cap, cfg.stack_cap
+    assert S <= 1023, "stack_cap must fit the 10-bit parent field"
     k = cfg.k
     end = lens  # the search end is always the read length (correct.c:425,430)
     r = _rows(B)
 
     # ---- initial state: first k-1 valid bases rolled in (correct.c:260-266)
     idx = jnp.arange(L)
-    is_n = (seq_b > 3) | (idx[None, :] >= lens[:, None])
-    pos_if_n = jnp.where(is_n | (idx[None, :] < start[:, None]), idx[None, :], -1)
+    bad = (seq_b > 3) | (idx[None, :] >= lens[:, None]) | (idx[None, :] < start[:, None])
     last_bad = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(idx[None, :] >= start[:, None], pos_if_n, idx[None, :]),
-        axis=-1,
+        jnp.maximum, jnp.where(bad, idx[None, :], -1), axis=-1
     )
     run = idx[None, :] - last_bad
     ok = (run >= k) & (idx[None, :] < end[:, None])
-    init_i = jnp.argmax(ok, axis=-1).astype(I32)  # first position with run >= k
+    init_i = jnp.argmax(ok, axis=-1).astype(I32)
     have = jnp.any(ok, axis=-1)
     active = active_in & have
     # planes of the k-1 bases before init_i, as k-bit append-state.
-    # The forward planes are the (k-1)-bit suffix of the backward window
-    # pack; the RC planes are the bit-reversed backward pack of the
-    # complement bits (bit 0 zeroed: only k-1 bases are rolled in).
-    # kmer_planes' own RC planes cannot be used here - they are only
-    # defined for full k-windows (positions >= k-1).
+    # The RC planes come from bit-reversing the backward window pack of
+    # the complement bits (full-window planes are undefined near the
+    # read start); bit 0 is zeroed: only k-1 bases are rolled in.
     lo = (seq_b & 1).astype(U64)
     hi = ((seq_b >> 1) & 1).astype(U64)
     bw_lo = kops.window_pack_backward(lo, k)
@@ -287,23 +249,23 @@ def ec1dir_batch(
     bw_chi = kops.window_pack_backward(hi ^ U64(1), k)
     prev = jnp.maximum(init_i - 1, 0)
     maskk1 = U64((1 << (k - 1)) - 1)
-    zx0 = bw_lo[r, prev] & maskk1
-    zx1 = bw_hi[r, prev] & maskk1
-    zx2 = kops.reverse_k(bw_clo[r, prev], k) & ~U64(1)
-    zx3 = kops.reverse_k(bw_chi[r, prev], k) & ~U64(1)
-
     st = State(
-        hp_pen=jnp.zeros((B, H), I32), hp_i=jnp.zeros((B, H), I32),
+        hp_pen=jnp.zeros((B, H), I32),
         hp_k=jnp.zeros((B, H), I32),
-        hp_eph=jnp.zeros((B, H, 2), I32), hp_ep=jnp.zeros((B, H, 5), I32),
-        hp_x0=jnp.zeros((B, H), U64), hp_x1=jnp.zeros((B, H), U64),
-        hp_x2=jnp.zeros((B, H), U64), hp_x3=jnp.zeros((B, H), U64),
+        hp_i=jnp.zeros((B, H), I32),
         heap_n=jnp.zeros((B,), I32),
-        st_parent=jnp.zeros((B, S), I32), st_i=jnp.zeros((B, S), I32),
-        st_b=jnp.zeros((B, S), I32), st_flags=jnp.zeros((B, S), I32),
-        st_tot=jnp.zeros((B, S), I32), st_n=jnp.zeros((B,), I32),
+        st_meta=jnp.zeros((B, S), I32),
+        st_tot=jnp.zeros((B, S), I32),
+        st_ecp=jnp.zeros((B, S), U64),
+        st_x0=jnp.zeros((B, S), U64), st_x1=jnp.zeros((B, S), U64),
+        st_x2=jnp.zeros((B, S), U64), st_x3=jnp.zeros((B, S), U64),
+        st_n=jnp.zeros((B,), I32),
+        root_x0=bw_lo[r, prev] & maskk1,
+        root_x1=bw_hi[r, prev] & maskk1,
+        root_x2=kops.reverse_k(bw_clo[r, prev], k) & ~U64(1),
+        root_x3=kops.reverse_k(bw_chi[r, prev], k) & ~U64(1),
         min_path_pen=jnp.full((B,), BIG, I32),
-        min_path_k=jnp.full((B,), -1, I32),
+        min_path_k=jnp.full((B,), -2, I32),
         n_paths=jnp.zeros((B,), I32),
         n_failures=jnp.zeros((B,), I32),
         rv=jnp.full((B,), -1, I32),
@@ -312,16 +274,10 @@ def ec1dir_batch(
         max_heap=jnp.zeros((B,), I32),
         it=jnp.zeros((), I32),
     )
-    init = dict(
-        pen=jnp.zeros((B,), I32), i=init_i, k=jnp.full((B,), -1, I32),
-        eph=jnp.full((B, 2), -1, I32), ep=jnp.full((B, 5), -1, I32),
-        x0=zx0, x1=zx1, x2=zx2, x3=zx3,
-    )
-    st = heap_push(st, init, active)
+    st = heap_push(st, jnp.zeros((B,), I32), jnp.full((B,), -1, I32), init_i, active)
 
     def body(st: State) -> State:
         act = ~st.done
-        # max_heap bookkeeping (correct.c:276)
         st = st._replace(
             max_heap=jnp.where(
                 act, jnp.minimum(jnp.maximum(st.max_heap, st.heap_n), 255),
@@ -332,18 +288,25 @@ def ec1dir_batch(
         empty = act & (st.heap_n == 0)
         st = st._replace(rv=jnp.where(empty, -2, st.rv), done=st.done | empty)
         act = act & ~empty
-        st, z = heap_pop(st, act)
+        st, z_pen, z_k, zi = heap_pop(st, act)
+        # ---- fetch the popped state's payload (stack pool or root)
+        is_root = z_k < 0
+        zkc = jnp.maximum(z_k, 0)
+        z_x0 = jnp.where(is_root, st.root_x0, st.st_x0[r, zkc])
+        z_x1 = jnp.where(is_root, st.root_x1, st.st_x1[r, zkc])
+        z_x2 = jnp.where(is_root, st.root_x2, st.st_x2[r, zkc])
+        z_x3 = jnp.where(is_root, st.root_x3, st.st_x3[r, zkc])
+        z_ecp = jnp.where(is_root, U64(0), st.st_ecp[r, zkc])
         # give up when past the best path by max_path_diff (correct.c:288)
-        brk = act & (st.min_path_k >= 0) & (
-            z["pen"] > st.min_path_pen + cfg.max_path_diff
+        brk = act & (st.min_path_k >= -1) & (
+            z_pen > st.min_path_pen + cfg.max_path_diff
         )
         st = st._replace(done=st.done | brk)
         act = act & ~brk
-        early_stop = z["i"] - end > cfg.max_end_ext
+        early_stop = zi - end > cfg.max_end_ext
         ext = act & ~early_stop
 
         # ---- candidate generation (correct.c:291-341)
-        zi = z["i"]
         zic = jnp.minimum(zi, L - 1)
         c_none = zi >= lens
         c_b = jnp.where(c_none, 4, seq_b[r, zic].astype(I32))
@@ -351,17 +314,15 @@ def ec1dir_batch(
         c_oq = ~c_none & seq_oq[r, zic]
         c_lcov = jnp.where(c_none, 0, lcov[r, zic])
         c_hcov = jnp.where(c_none, 0, hcov[r, zic])
-        # all four one-base extensions, hashed and looked up at once
         occ = []
         for b in range(4):
-            nx = kops.append_base(z["x0"], z["x1"], z["x2"], z["x3"],
+            nx = kops.append_base(z_x0, z_x1, z_x2, z_x3,
                                   jnp.full((B,), b, I32), k)
             occ.append(_occ_of(table, cfg, *nx))
         occ = jnp.stack(occ, axis=1)  # i32 [B,4]
         cb_ok = ~c_none & (c_b < 4)
         os = jnp.where(cb_ok, occ[r, jnp.minimum(c_b, 3)], -1)
         os_cnt = os & 0xFF          # NB: os==-1 reads as 255 (correct.c:300 quirk)
-        os_high = (os >> 8) & 0xFF
         fixed = (zi > end) | (
             cb_ok
             & (
@@ -370,11 +331,11 @@ def ec1dir_batch(
             )
         )
         # clustered-correction windows (correct.c:316-317)
-        eph_old = z["eph"][:, -1]
-        ep_old = z["ep"][:, -1]
+        ep_old = (z_ecp >> U64(36)).astype(I32) & 511
+        eph_old = (z_ecp >> U64(54)).astype(I32) & 511
         win_block = (~c_none) & (
-            (c_q & (eph_old >= 0) & (zi - eph_old < cfg.win_multi_ec))
-            | ((ep_old >= 0) & (zi - ep_old < cfg.win_multi_ec))
+            (c_q & (eph_old > 0) & (zi - (eph_old - 1) < cfg.win_multi_ec))
+            | ((ep_old > 0) & (zi - (ep_old - 1) < cfg.win_multi_ec))
         )
         valid = []
         pens = []
@@ -415,36 +376,62 @@ def ec1dir_batch(
         ext = ext & ~give_up
 
         add_cond = ext & (~c_none | (n_added == 1))
-        # heap-explosion guard (correct.c:349-356): push only the min-
-        # penalty branch; first minimum wins on ties
+        # heap-explosion guard (correct.c:349-356)
         guard = add_cond & (n_added > 1) & (st.heap_n > cfg.max_heap)
-        wp = jnp.stack(
-            [_weighted(cfg, *pens[b]) for b in range(4)], axis=1
-        )
+        wp = jnp.stack([_weighted(cfg, *pens[b]) for b in range(4)], axis=1)
         wp_masked = jnp.where(valid, wp, BIG)
         winner = jnp.argmin(wp_masked, axis=1).astype(I32)
         for b in range(4):
             push_b = add_cond & valid[:, b] & (~guard | (winner == b))
-            st = buf_update(
-                st, cfg, z, push_b, jnp.full((B,), b, I32), *pens[b]
+            p_ec, p_ech, p_abs, p_absh = pens[b]
+            # stack append (buf_update, correct.c:198-230)
+            over = push_b & (st.st_n >= S)
+            push_b = push_b & ~over
+            st = st._replace(overflow=st.overflow | over, done=st.done | over)
+            tot = z_pen + _weighted(cfg, p_ec, p_ech, p_abs, p_absh)
+            meta = (
+                (zi << 16)
+                | ((z_k + 1) << 6)
+                | (b << 4)
+                | p_ec.astype(I32)
+                | (p_ech.astype(I32) << 1)
+                | (p_abs.astype(I32) << 2)
+                | (p_absh.astype(I32) << 3)
             )
+            nx = kops.append_base(z_x0, z_x1, z_x2, z_x3,
+                                  jnp.full((B,), b, I32), k)
+            necp = _shift_ecp(z_ecp, zi, p_ec, p_ech)
+            dst = jnp.where(push_b, st.st_n, S + 1)
+            st = st._replace(
+                st_meta=st.st_meta.at[r, dst].set(meta, mode="drop"),
+                st_tot=st.st_tot.at[r, dst].set(tot, mode="drop"),
+                st_ecp=st.st_ecp.at[r, dst].set(necp, mode="drop"),
+                st_x0=st.st_x0.at[r, dst].set(nx[0], mode="drop"),
+                st_x1=st.st_x1.at[r, dst].set(nx[1], mode="drop"),
+                st_x2=st.st_x2.at[r, dst].set(nx[2], mode="drop"),
+                st_x3=st.st_x3.at[r, dst].set(nx[3], mode="drop"),
+            )
+            new_k = st.st_n
+            st = st._replace(st_n=st.st_n + push_b.astype(I32))
+            over2 = push_b & (st.heap_n >= H)
+            push_b = push_b & ~over2
+            st = st._replace(overflow=st.overflow | over2, done=st.done | over2)
+            st = heap_push(st, tot, new_k, zi + 1, push_b)
         # dead end past the read (correct.c:361-363)
         dead = ext & ~add_cond
         dead_pen = dead & (n_added == 0)
-        zk = jnp.where(dead_pen, z["k"], S + 1)
+        zk_w = jnp.where(dead_pen, zkc, S + 1)
         st = st._replace(
-            st_tot=st.st_tot.at[r, zk].add(
-                cfg.w_absent * (cfg.max_end_ext - (z["i"] - end)), mode="drop"
+            st_tot=st.st_tot.at[r, zk_w].add(
+                cfg.w_absent * (cfg.max_end_ext - (zi - end)), mode="drop"
             )
         )
         stop = (act & early_stop) | dead
-        # record stopped path (correct.c:366-371)
-        zkc = jnp.maximum(z["k"], 0)
         stop_pen = st.st_tot[r, zkc]
         better = stop & (stop_pen < st.min_path_pen)
         st = st._replace(
             min_path_pen=jnp.where(better, stop_pen, st.min_path_pen),
-            min_path_k=jnp.where(better, z["k"], st.min_path_k),
+            min_path_k=jnp.where(better, z_k, st.min_path_k),
             n_paths=st.n_paths + stop.astype(I32),
         )
         full = st.n_paths >= 4
@@ -471,14 +458,14 @@ def ec1dir_batch(
         cur, ec_b, n_absent = c
         m = cur >= 0
         curc = jnp.maximum(cur, 0)
-        ni = st.st_i[r, curc]
-        nb = st.st_b[r, curc]
-        nfl = st.st_flags[r, curc]
+        meta = st.st_meta[r, curc]
+        ni = meta >> 16
+        nb = (meta >> 4) & 3
         write = m & (ni < lens)
         wi = jnp.where(write, ni, L + 1)
         ec_b = ec_b.at[r, wi].set(nb, mode="drop")
-        n_absent = n_absent + jnp.where(write, (nfl >> 2) & 1, 0)
-        cur = jnp.where(m, st.st_parent[r, curc], cur)
+        n_absent = n_absent + jnp.where(write, (meta >> 2) & 1, 0)
+        cur = jnp.where(m, ((meta >> 6) & 1023) - 1, cur)
         return cur, ec_b, n_absent
 
     cur, ec_b, n_absent = jax.lax.while_loop(bt_cond, bt_body, (cur, ec_b, n_absent))
@@ -488,7 +475,7 @@ def ec1dir_batch(
         4, ec_b,
     )
     status = jnp.where(success, 0, st.rv)
-    status = jnp.where(active & ~have, -2, status)  # no k valid bases: like uncorrectable
+    status = jnp.where(active & ~have, -2, status)
     out = (
         ec_b.astype(jnp.uint8),
         n_absent,
