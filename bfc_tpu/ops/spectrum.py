@@ -244,15 +244,17 @@ def adjudicate_first_occurrence(agg: Aggregate, bf_shift: int, n_hashes: int):
 
 
 def _forward_fill(vals, first):
-    """vals holds the group value at group starts, 0 elsewhere; fill forward."""
+    """Broadcast each group-start value forward over its segment.
 
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    filled, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
-    return filled
+    Computed as an i32 cumulative max of start indices followed by one
+    gather (u64 associative scans are disproportionately expensive to
+    compile on TPU because of 64-bit emulation)."""
+    N = vals.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0), axis=0
+    )
+    return vals[seg_start]
 
 
 # ---------------------------------------------------------------------------
