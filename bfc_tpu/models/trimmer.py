@@ -85,14 +85,11 @@ def filter_keep_rets(agg: spec.Aggregate, bf_shift: int, n_hashes: int):
     return agg.ret, keep
 
 
-def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 4096) -> DeviceBloom:
+def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 8192) -> DeviceBloom:
     """Filter-mode counting: build the high-occurrence Bloom filter."""
-    from .counter import count_stream_aggregate
+    from .counter import count_batches_aggregate
 
-    agg, n_reads = count_stream_aggregate(
-        ((r.seq, r.qual) for r in read_fastx(fn, keep_comment=False)),
-        opt, batch_reads=batch_reads,
-    )
+    agg, n_reads = count_batches_aggregate(fn, opt, batch_reads=batch_reads)
     rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
     log(f"processed {n_reads} sequences (filter mode)")
     return DeviceBloom.from_rets(rets, keep, opt.bf_shift, opt.n_hashes)
@@ -137,6 +134,10 @@ class Trimmer:
         opt = self.opt
         seqs = [r.seq for r in reads]
         bases, _, lens = kops.encode_batch(seqs, None, opt.q)
+        self._apply(reads, bases, lens)
+
+    def _apply(self, reads: List[Read], bases, lens) -> None:
+        opt = self.opt
         m = np.asarray(
             max_streak_batch(
                 self.bloom.words, jnp.asarray(bases), jnp.asarray(lens),
@@ -155,18 +156,24 @@ class Trimmer:
             else:
                 r.aux = 1
 
-    def trim_file(self, fn: str, out: List[str], batch_reads: int = 4096) -> None:
-        pending: List[Read] = []
+    def trim_file(self, fn: str, out: List[str], batch_reads: int = 8192) -> None:
+        from ..io import fast_reader as FR
 
-        def flush():
-            if pending:
-                self.trim_batch(pending)
-                for r in pending:
-                    format_corrected(r, self.opt.no_qual, True, self.opt.discard, out)
-                pending.clear()
-
-        for r in read_fastx(fn, keep_comment=True):
-            pending.append(r)
-            if len(pending) >= batch_reads:
-                flush()
-        flush()
+        pad_L = 0
+        for rb in FR.iter_batches(fn, batch_reads):
+            n = rb.n
+            reads = [
+                Read(name=rb.name(i), comment=rb.comment(i), seq=rb.seq(i),
+                     qual=rb.qual(i))
+                for i in range(n)
+            ]
+            # bucketed shapes: one device compile for the whole stream
+            pad_L = max(pad_L, (int(rb.lens.max()) + 31) // 32 * 32)
+            Lc = min(pad_L, rb.bases.shape[1])
+            bases = np.full((batch_reads, pad_L), 4, np.uint8)
+            bases[:n, :Lc] = rb.bases[:, :Lc]
+            lens = np.zeros((batch_reads,), np.int32)
+            lens[:n] = rb.lens
+            self._apply(reads, bases, lens)
+            for r in reads:
+                format_corrected(r, self.opt.no_qual, True, self.opt.discard, out)
