@@ -58,8 +58,8 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     coverage peak.  Returns a dict of per-read outputs."""
     B, L = seq_b.shape
     k = cfg.k
-    r = jnp.arange(B)
-    idx = jnp.arange(L)
+    r = jnp.arange(B, dtype=jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)
     inb = idx[None, :] < lens[:, None]
     ob = seq_b  # conversion sets b == ob (correct.c:31)
 

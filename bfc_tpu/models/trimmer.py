@@ -107,7 +107,7 @@ def max_streak_batch(words, bases, lens, k: int, bf_shift: int, n_hashes: int):
     valid = kops.valid_kmer_mask(bases, lens, k)
     ret, _, _ = kops.canonical_hash(x0, x1, x2, x3, k)
     hit = valid & _bloom_query(words, ret, bf_shift, n_hashes)
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     inb = idx[None, :] < lens[:, None]
     nonhit = ~hit
     last_nonhit = jax.lax.associative_scan(

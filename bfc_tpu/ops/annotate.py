@@ -47,7 +47,7 @@ def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int
     he = (solid_end & high_end).astype(I32)
     cs = jnp.cumsum(se, axis=-1)
     ch = jnp.cumsum(he, axis=-1)
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     hi = jnp.minimum(idx + k - 1, L - 1)
     lcov = (cs[:, hi] - cs + se) & 63
     hcov = (ch[:, hi] - ch + he) & 63
@@ -62,7 +62,7 @@ def best_island_batch(solid_end, lens, k: int):
     non-solid position in [k-1, n) plus the sentinel position n, taking
     the first strict maximum, exactly like the reference scan."""
     B, L = solid_end.shape
-    idx = jnp.arange(L + 1)
+    idx = jnp.arange(L + 1, dtype=jnp.int32)
     # solid within the scanned domain [k-1, n)
     sol = jnp.pad(solid_end, ((0, 0), (0, 1)))
     in_dom = (idx[None, :] >= k - 1) & (idx[None, :] < lens[:, None])
@@ -83,7 +83,7 @@ def best_island_batch(solid_end, lens, k: int):
     key = jnp.where(cand & (l_cand > 0), key, -1)
     best = jnp.argmax(key, axis=-1).astype(I32)
     found = jnp.max(key, axis=-1) >= 0
-    maxl = l_cand[jnp.arange(B), best]
+    maxl = l_cand[jnp.arange(B, dtype=jnp.int32), best]
     start = best - maxl - (k - 1)
     return jnp.where(found, start, 0), jnp.where(found, best, 0), found
 
@@ -95,7 +95,7 @@ def first_kmer_batch(seq_b, lens, start, k: int):
     Returns (end_pos, x0, x1, x2, x3, found): end_pos is the index of
     the k-mer's last base (== n when absent)."""
     B, L = seq_b.shape
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     bad = (seq_b > 3) | (idx[None, :] >= lens[:, None]) | (idx[None, :] < start[:, None])
     last_bad = jax.lax.associative_scan(
         jnp.maximum, jnp.where(bad, idx[None, :], -1), axis=-1
@@ -105,7 +105,7 @@ def first_kmer_batch(seq_b, lens, start, k: int):
     end_pos = jnp.argmax(ok, axis=-1).astype(I32)
     found = jnp.any(ok, axis=-1)
     x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
-    r = jnp.arange(B)
+    r = jnp.arange(B, dtype=jnp.int32)
     pc = jnp.where(found, end_pos, 0)
     return (
         jnp.where(found, end_pos, lens),
@@ -142,7 +142,7 @@ def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
     best_idx = jnp.argmax(cnt, axis=1)
     best_cnt = jnp.max(cnt, axis=1)
     # second best including duplicates of the max
-    cnt2 = cnt.at[jnp.arange(B), best_idx].set(-1)
+    cnt2 = cnt.at[jnp.arange(B, dtype=jnp.int32), best_idx].set(-1)
     second_cnt = jnp.max(cnt2, axis=1)
     best_cnt = jnp.maximum(best_cnt, 0)           # max starts at 0 in the ref
     second_cnt = jnp.maximum(second_cnt, 0)

@@ -37,7 +37,7 @@ def window_pack_backward(bits, k: int):
     while width < k:
         shifted = jnp.roll(acc, width, axis=-1)
         # zero the wrapped-around columns
-        idx = jnp.arange(acc.shape[-1])
+        idx = jnp.arange(acc.shape[-1], dtype=jnp.int32)
         shifted = jnp.where(idx >= width, shifted, _u64(0))
         acc = acc | (shifted << U64(width))
         width <<= 1
@@ -51,7 +51,7 @@ def window_pack_forward(bits, k: int):
     width = 1
     while width < k:
         shifted = jnp.roll(acc, -width, axis=-1)
-        idx = jnp.arange(L)
+        idx = jnp.arange(L, dtype=jnp.int32)
         shifted = jnp.where(idx < L - width, shifted, _u64(0))
         acc = acc | (shifted << U64(width))
         width <<= 1
@@ -75,7 +75,7 @@ def kmer_planes(bases, k: int):
     clo = window_pack_forward((lo ^ 1) & U64(1), k)
     chi = window_pack_forward((hi ^ 1) & U64(1), k)
     L = b.shape[-1]
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     x2 = jnp.roll(clo, k - 1, axis=-1)
     x3 = jnp.roll(chi, k - 1, axis=-1)
     x2 = jnp.where(idx >= k - 1, x2, _u64(0))
@@ -88,7 +88,7 @@ def valid_kmer_mask(bases, lengths, k: int):
 
     bases: uint8 [B, L]; lengths: int32 [B]."""
     B, L = bases.shape
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     is_n = (bases > 3) | (idx[None, :] >= lengths[:, None])
     # last invalid position at or before i (exclusive run-length reset)
     pos_if_n = jnp.where(is_n, idx[None, :], -1)
@@ -102,7 +102,7 @@ def high_quality_mask(bases, qual_ok, lengths, k: int):
 
     Mirrors the qmer mask of count.c:85-86 (N bases reset the window)."""
     B, L = bases.shape
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     bad = (bases > 3) | ~qual_ok | (idx[None, :] >= lengths[:, None])
     pos_if_bad = jnp.where(bad, idx[None, :], -1)
     last_bad = jax.lax.associative_scan(jnp.maximum, pos_if_bad, axis=-1)

@@ -100,7 +100,7 @@ class State(NamedTuple):
 
 
 def _rows(n):
-    return jnp.arange(n)
+    return jnp.arange(n, dtype=jnp.int32)
 
 
 def heap_push(st: State, pen, kidx, pos, mask) -> State:
@@ -227,7 +227,7 @@ def ec1dir_batch(
     r = _rows(B)
 
     # ---- initial state: first k-1 valid bases rolled in (correct.c:260-266)
-    idx = jnp.arange(L)
+    idx = jnp.arange(L, dtype=jnp.int32)
     bad = (seq_b > 3) | (idx[None, :] >= lens[:, None]) | (idx[None, :] < start[:, None])
     last_bad = jax.lax.associative_scan(
         jnp.maximum, jnp.where(bad, idx[None, :], -1), axis=-1
@@ -361,7 +361,7 @@ def ec1dir_batch(
             valid.append(jnp.where(is_keep, True, branch_ok))
             pens.append((p_ec, p_ech, p_abs, p_absh))
         valid = jnp.stack(valid, axis=1)  # [B,4]
-        keep_col = (~c_none)[:, None] & (jnp.arange(4)[None, :] == c_b[:, None])
+        keep_col = (~c_none)[:, None] & (jnp.arange(4, dtype=jnp.int32)[None, :] == c_b[:, None])
         other_ext = jnp.sum((valid & ~keep_col).astype(I32), axis=1)
         n_added = jnp.sum(valid.astype(I32), axis=1)
 

@@ -107,7 +107,7 @@ def _segment_combine(shard, keybody, ret, n, n_high, first_arr, first_high, cap:
     order = jnp.argsort(~first, stable=True)
     starts = order  # starts[g] = index of group g's first element (g < G)
     G = jnp.sum(first)
-    idx = jnp.arange(N)
+    idx = jnp.arange(N, dtype=jnp.int32)
     gvalid = idx < G
     s_g = jnp.where(gvalid, starts, N - 1)
     # group end = next group's start - 1; last group ends at last valid index
@@ -116,7 +116,10 @@ def _segment_combine(shard, keybody, ret, n, n_high, first_arr, first_high, cap:
     e_g = jnp.where(gvalid, e_g, N - 1)
 
     def segsum(v):
-        c = jnp.cumsum(v.astype(jnp.int64))
+        # i32 cumulative sums: 64-bit scans are emulated and extremely
+        # slow to compile on TPU; this caps exact totals at 2^31
+        # occurrences per device per run (sharding divides the stream)
+        c = jnp.cumsum(v.astype(jnp.int32))
         return (c[e_g] - c[s_g] + v[s_g].astype(jnp.int64)).astype(v.dtype)
 
     out_n = segsum(n)
@@ -327,11 +330,12 @@ def build_table(shard, keybody, payload, keep, s_bits: int, margin: int,
     keybody = keybody[order]
     payload = payload[order]
     n = jnp.sum(keep)
-    idx = jnp.arange(C)
+    idx = jnp.arange(C, dtype=jnp.int32)
     live = idx < n
     pk = posk64(shard, keybody, l_pre, kb_bits)
-    ideal = (pk >> U64(64 - s_bits)).astype(jnp.int64)
-    ideal = jnp.where(live, ideal, jnp.int64(1 << 62))
+    assert s_bits <= 30, "table slots must fit i32 for the placement scan"
+    ideal = (pk >> U64(64 - s_bits)).astype(jnp.int32)
+    ideal = jnp.where(live, ideal, jnp.int32(1 << 30))
     slot = idx + jax.lax.associative_scan(jnp.maximum, ideal - idx)
     slot = jnp.where(live, slot, 0)
     S = (1 << s_bits) + margin
@@ -362,7 +366,7 @@ def table_lookup(table: Table, q_shard, q_keybody, s_bits: int, l_pre: int,
     S = table.kb_payload.shape[0]
 
     def probe_window(start):
-        offs = start[..., None] + jnp.arange(window)
+        offs = start[..., None] + jnp.arange(window, dtype=jnp.int32)
         offs = jnp.minimum(offs, S - 1)
         e_kbp = table.kb_payload[offs]
         e_shard = table.shard[offs]
