@@ -42,6 +42,7 @@ def usage(fp, o: Opts) -> None:
     fp.write("  --batch INT     reads per device correction batch [2048]\n")
     fp.write("  --cpu           run on the host CPU backend\n")
     fp.write("  --scalar        use the scalar reference model (debug)\n")
+    fp.write("  --mesh INT      shard counting over INT devices; dp correction\n")
 
 
 def parse_size(s: str) -> int:
@@ -60,11 +61,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     batch_reads = 2048
     use_cpu = False
     use_scalar = False
+    mesh_devices = 0
     ulog.reset_clock()
     try:
         optlist, args = getopt.getopt(
             argv, "hvV:Ed:k:s:b:L:t:C:H:q:Jr:c:w:D1QR",
-            ["batch=", "cpu", "scalar"],
+            ["batch=", "cpu", "scalar", "mesh="],
         )
     except getopt.GetoptError as e:
         sys.stderr.write(f"bfc-tpu: {e}\n")
@@ -122,6 +124,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             use_cpu = True
         elif flag == "--scalar":
             use_scalar = True
+        elif flag == "--mesh":
+            mesh_devices = int(val)
     if not args:
         usage(sys.stderr, opt)
         return 1
@@ -143,7 +147,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .models import device_pipeline as DP
 
         out = DP.run_device(opt, count_fn, correct_fn=correct_fn, in_hash=in_hash,
-                            out_hash=out_hash, no_ec=no_ec, batch_reads=batch_reads)
+                            out_hash=out_hash, no_ec=no_ec, batch_reads=batch_reads,
+                            mesh_devices=mesh_devices)
         sys.stdout.write(out)
     sys.stderr.write(f"[M::main] Version: {VERSION}\n")
     sys.stderr.write("[M::main] CMD: bfc-tpu " + " ".join(argv) + "\n")

@@ -173,11 +173,12 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
 
 class Corrector:
     def __init__(self, opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
-                 iter_cap: int = 1024):
+                 iter_cap: int = 1024, mesh=None):
         self.opt = opt
         self.ds = ds
         self.cfg = make_config(opt, ds, stack_cap, iter_cap)
         self._model_ch: Optional[M.CountHash] = None
+        self.mesh = mesh  # data-parallel correction over a device mesh
 
     def _fallback_table(self) -> M.CountHash:
         """Scalar CountHash mirror for overflow fallback (built lazily)."""
@@ -247,9 +248,19 @@ class Corrector:
                 enc, ((qv - 1) & 7).astype(np.uint8), bases[:n, :Lc]
             )
         qflag &= bases <= 3
+        j_bases = jnp.asarray(bases)
+        j_qflag = jnp.asarray(qflag)
+        j_lens = jnp.asarray(lens)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("d"))
+            j_bases = jax.device_put(j_bases, sh)
+            j_qflag = jax.device_put(j_qflag, sh)
+            j_lens = jax.device_put(j_lens, sh)
         out = correct_core(
-            self.ds.table, self.cfg, jnp.asarray(bases), jnp.asarray(qflag),
-            jnp.asarray(lens), jnp.int32(self.ds.mode),
+            self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
+            jnp.int32(self.ds.mode),
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         quals_present = has_q

@@ -22,10 +22,11 @@ from .trimmer import DeviceBloom, Trimmer, count_file_filter_device
 
 
 def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
-                        out: List[str], batch_reads: int = 2048) -> None:
+                        out: List[str], batch_reads: int = 2048,
+                        mesh=None) -> None:
     from ..io import fast_reader as FR
 
-    corr = Corrector(opt, ds)
+    corr = Corrector(opt, ds, mesh=mesh)
     n_done = 0
     for rb in FR.iter_batches(fn, batch_reads):
         n = rb.n
@@ -92,8 +93,19 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
 
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                in_hash: Optional[str] = None, out_hash: Optional[str] = None,
-               no_ec: bool = False, batch_reads: int = 2048) -> str:
-    """Full device pipeline; returns the output text (reference stdout)."""
+               no_ec: bool = False, batch_reads: int = 2048,
+               mesh_devices: int = 0) -> str:
+    """Full device pipeline; returns the output text (reference stdout).
+
+    mesh_devices > 1 shards the counting pass by hash prefix over a
+    device mesh (all-to-all k-mer shuffle) and runs the correction pass
+    data-parallel with the table replicated; output is identical to the
+    single-device pipeline."""
+    mesh = None
+    if mesh_devices and mesh_devices > 1:
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(mesh_devices)
     out: List[str] = []
     next_fn = correct_fn if correct_fn is not None else count_fn
     if opt.filter_mode:
@@ -104,10 +116,15 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
         if in_hash is not None:
             ds = restore_spectrum(in_hash)
             opt.k = ds.k
+        elif mesh is not None:
+            from ..parallel.mesh import count_file_mesh
+
+            ds = count_file_mesh(count_fn, opt, mesh, batch_reads=max(batch_reads, 8 * mesh_devices))
         else:
             ds = count_file_device(count_fn, opt)
         if out_hash is not None:
             ds.dump(out_hash)
         if not no_ec:
-            correct_file_device(next_fn, opt, ds, out, batch_reads=batch_reads)
+            correct_file_device(next_fn, opt, ds, out, batch_reads=batch_reads,
+                                mesh=mesh)
     return "\n".join(out) + ("\n" if out else "")

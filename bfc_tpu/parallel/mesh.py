@@ -255,3 +255,111 @@ class MeshRef:
 
     def __eq__(self, other):
         return isinstance(other, MeshRef) and self.mesh == other.mesh
+
+
+# ---------------------------------------------------------------------------
+# Mesh counting driver
+# ---------------------------------------------------------------------------
+
+def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
+    """Counting pass sharded over the mesh: reads data-parallel in, the
+    aggregate hash-prefix-sharded out, Bloom adjudication distributed.
+
+    Returns a DeviceSpectrum (table built once from the gathered
+    aggregate and replicated for the correction pass).  Output is
+    bit-identical to the single-device pass: arrival indices stay
+    global, so the sequential-order semantics are preserved."""
+    import numpy as np
+
+    from ..io import fast_reader as FR
+    from ..models.counter import _round_up, finalize_spectrum
+    from ..opts import Opts
+    from ..utils.log import log
+
+    mref = MeshRef(mesh)
+    n_dev = mesh.shape["d"]
+    assert batch_reads % n_dev == 0
+    k = opt.k
+    l_pre = opt.effective_l_pre()
+    sh_d = NamedSharding(mesh, P("d"))
+    agg = None
+    cap = 1 << 18
+    arrival_base = jnp.uint64(0)
+    pad_L = 0
+    n_reads = 0
+    for rb in FR.iter_batches(fn, batch_reads):
+        n = rb.n
+        n_reads += n
+        pad_L = max(pad_L, _round_up(int(rb.lens.max()) if n else 1, 32))
+        L = pad_L
+        Lc = min(L, rb.bases.shape[1])
+        bases = np.full((batch_reads, L), 4, np.uint8)
+        bases[:n, :Lc] = rb.bases[:, :Lc]
+        lens = np.zeros((batch_reads,), np.int32)
+        lens[:n] = rb.lens
+        qok = np.zeros((batch_reads, L), bool)
+        has_q = rb.has_qual()
+        inb = np.arange(Lc)[None, :] < rb.lens[:, None]
+        qok[:n, :Lc] = np.where(
+            has_q[:, None], rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q, inb
+        )
+        bases_s = jax.device_put(jnp.asarray(bases), sh_d)
+        qok_s = jax.device_put(jnp.asarray(qok), sh_d)
+        lens_s = jax.device_put(jnp.asarray(lens), sh_d)
+        while True:
+            chunk, g, ovf = sharded_chunk_aggregate(
+                bases_s, qok_s, lens_s, arrival_base, k, l_pre,
+                cap, batch_reads // n_dev * L, mref,
+            )
+            if agg is None:
+                merged, g2 = chunk, g
+            else:
+                merged, g2 = sharded_merge(agg, chunk, cap, mref)
+            if int(jnp.max(g2)) <= cap and not bool(ovf):
+                agg = merged
+                break
+            cap *= 2  # per-device overflow: redo at doubled capacity
+        arrival_base = arrival_base + jnp.uint64(batch_reads * L)
+    if agg is None:
+        from ..models.counter import count_stream
+
+        return count_stream(iter(()), opt)
+    log(f"processed {n_reads} sequences over {n_dev} devices",
+        func="count_file_mesh")
+    fp, ovf2 = sharded_adjudicate(agg, opt.bf_shift, opt.n_hashes, mref)
+    assert not bool(ovf2), "adjudication bucket overflow"
+    # fold the fp verdicts into the aggregate, then finalize once
+    # globally (the finalize re-runs its own adjudication; zero out the
+    # first-occurrence contribution instead by adjusting n/n_high)
+    ds = _finalize_sharded(agg, fp, opt)
+    ds.table = replicate_table(ds.table, mesh)
+    return ds
+
+
+def _finalize_sharded(agg: spec.Aggregate, fp, opt):
+    """Payloads + table from a prefix-sharded aggregate and fp verdicts."""
+    import numpy as np
+
+    from ..models.counter import DeviceSpectrum, _mode_from_hist
+    from ..ops import kmer as kops
+
+    k = opt.k
+    l_pre = opt.effective_l_pre()
+    valid = np.asarray(agg.shard) != 0xFFFFFFFF
+    fp_np = np.asarray(fp).astype(np.uint32)
+    n_occ = np.asarray(agg.n)
+    m = n_occ - 1 + fp_np
+    high = np.asarray(agg.n_high) - (1 - fp_np) * np.asarray(agg.first_high)
+    keep = valid & (m >= 1)
+    count = np.minimum(m, 255).astype(np.uint32)
+    high = np.minimum(high, 63).astype(np.uint32)
+    payload = (count | (high << 8)) * keep
+    shard = np.asarray(agg.shard)[keep]
+    keybody = np.asarray(agg.keybody)[keep]
+    payload = payload[keep]
+    order = np.lexsort((keybody, shard))
+    from ..models.counter import _spectrum_from_sorted
+
+    return _spectrum_from_sorted(
+        shard[order], keybody[order], payload[order].astype(np.uint32), k, l_pre
+    )
