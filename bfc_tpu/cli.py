@@ -43,6 +43,7 @@ def usage(fp, o: Opts) -> None:
     fp.write("  --cpu           run on the host CPU backend\n")
     fp.write("  --scalar        use the scalar reference model (debug)\n")
     fp.write("  --mesh INT      shard counting over INT devices; dp correction\n")
+    fp.write("  --profile DIR   write a JAX profiler trace of the run to DIR\n")
 
 
 def parse_size(s: str) -> int:
@@ -62,11 +63,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     use_cpu = False
     use_scalar = False
     mesh_devices = 0
+    profile_dir = None
     ulog.reset_clock()
     try:
         optlist, args = getopt.getopt(
             argv, "hvV:Ed:k:s:b:L:t:C:H:q:Jr:c:w:D1QR",
-            ["batch=", "cpu", "scalar", "mesh="],
+            ["batch=", "cpu", "scalar", "mesh=", "profile="],
         )
     except getopt.GetoptError as e:
         sys.stderr.write(f"bfc-tpu: {e}\n")
@@ -126,6 +128,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             use_scalar = True
         elif flag == "--mesh":
             mesh_devices = int(val)
+        elif flag == "--profile":
+            profile_dir = val
     if not args:
         usage(sys.stderr, opt)
         return 1
@@ -146,9 +150,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         from .models import device_pipeline as DP
 
+        if profile_dir:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
         out = DP.run_device(opt, count_fn, correct_fn=correct_fn, in_hash=in_hash,
                             out_hash=out_hash, no_ec=no_ec, batch_reads=batch_reads,
                             mesh_devices=mesh_devices)
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            sys.stderr.write(f"[M::main] profiler trace written to {profile_dir}\n")
         sys.stdout.write(out)
     sys.stderr.write(f"[M::main] Version: {VERSION}\n")
     sys.stderr.write("[M::main] CMD: bfc-tpu " + " ".join(argv) + "\n")
