@@ -88,15 +88,17 @@ def _kh_n_buckets(size: int) -> int:
 def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
                           payload: np.ndarray, k: int, l_pre: int) -> DeviceSpectrum:
     """Build a DeviceSpectrum from host-sorted compact entries."""
+    from ..ops import spectrum_host as sph
+
     n = len(shard)
     s_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2 + 1))))
     margin = 4096
     kb_bits = kops.keybody_bits(k, l_pre)
-    keep = np.ones((n,), bool)
-    table, n_dev, max_slot = spec.build_table(
-        jnp.asarray(shard), jnp.asarray(keybody), jnp.asarray(payload),
-        jnp.asarray(keep), s_bits, margin, l_pre, kb_bits,
+    tab_kbp, tab_shard, max_slot = sph.build_table_host(
+        shard.astype(np.uint32), keybody.astype(np.uint64),
+        payload.astype(np.uint32), s_bits, margin, l_pre, kb_bits,
     )
+    table = spec.Table(kb_payload=jnp.asarray(tab_kbp), shard=jnp.asarray(tab_shard))
     assert int(max_slot) <= (1 << s_bits) + margin - 2
     hist = np.bincount(np.minimum(payload & 0xFF, 255), minlength=256)[:256]
     hist[0] = 0
@@ -256,10 +258,27 @@ def count_stream(
     return finalize_spectrum(agg, opt)
 
 
-def finalize_spectrum(agg: spec.Aggregate, opt: Opts) -> DeviceSpectrum:
-    """Adjudicate + payloads + lookup-table build from an aggregate."""
+def finalize_spectrum(agg: spec.Aggregate, opt: Opts, host: bool = None) -> DeviceSpectrum:
+    """Adjudicate + payloads + lookup-table build from an aggregate.
+
+    By default finalization runs on the host (numpy twin in
+    ops.spectrum_host): it happens once per job, and its one-time
+    device compile is far more expensive than the computation.  Set
+    BFC_TPU_DEVICE_FINALIZE=1 (or host=False) to keep it on device."""
+    import os
+
+    if host is None:
+        host = os.environ.get("BFC_TPU_DEVICE_FINALIZE", "0") != "1"
     k = opt.k
     l_pre = opt.effective_l_pre()
+    if host:
+        from ..ops import spectrum_host as sph
+
+        shard_c, keybody_c, payload_c, hist, hist_high = sph.finalize_host(
+            agg, opt.bf_shift, opt.n_hashes
+        )
+        log(f"# distinct k-mers in table: {len(shard_c)}")
+        return _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre)
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
         agg, opt.bf_shift, opt.n_hashes
     )

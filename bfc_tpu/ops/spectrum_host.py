@@ -1,0 +1,124 @@
+"""Host (numpy) finalization of the spectrum aggregate.
+
+Semantically identical to ops.spectrum.finalize_counts + build_table
+(tested for equality); used by default for single-process runs because
+finalization happens once per job while its device compile is a large
+one-time cost on TPU.  The streaming aggregation stays on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..opts import BFC_BLK_SHIFT
+
+
+def bloom_probe_bits_np(ret: np.ndarray, bf_shift: int, n_hashes: int) -> np.ndarray:
+    """Global probed bit ids per hash (bbf.c:27-37 addressing)."""
+    x = bf_shift - BFC_BLK_SHIFT
+    block = ret & np.uint64((1 << x) - 1)
+    h1 = (ret >> np.uint64(x)) & np.uint64(511)
+    h2 = (ret >> np.uint64(bf_shift)) & np.uint64(511)
+    h2 = np.where((h2 & np.uint64(31)) == 0, (h2 + np.uint64(1)) & np.uint64(511), h2)
+    n_steps = n_hashes + 8
+    zs = np.empty((len(ret), n_steps), np.uint64)
+    z = h1.copy()
+    for j in range(n_steps):
+        zs[:, j] = z
+        z = (z + h2) & np.uint64(511)
+    ok = zs >= 8
+    # first n_hashes valid probes per row
+    rank = np.cumsum(ok, axis=1) - 1
+    out = np.zeros((len(ret), n_hashes), np.uint64)
+    for j in range(n_hashes):
+        sel = ok & (rank == j)
+        out[:, j] = (zs * sel).sum(axis=1)
+    return (block[:, None] << np.uint64(BFC_BLK_SHIFT)) | out
+
+
+def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
+                  bf_shift: int, n_hashes: int) -> np.ndarray:
+    """First-occurrence Bloom-hit verdicts (order-exact, vectorized)."""
+    C = len(ret)
+    bits = bloom_probe_bits_np(ret, bf_shift, n_hashes)      # [C,H]
+    H = n_hashes
+    flat_bits = bits.reshape(-1)
+    flat_arr = np.repeat(first_arr, H)
+    flat_ok = np.repeat(valid, H)
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    key = np.where(flat_ok, flat_bits, sent)
+    order = np.lexsort((flat_arr, key))
+    kb = key[order]
+    ka = flat_arr[order]
+    first = np.empty(len(kb), bool)
+    first[0] = True
+    first[1:] = kb[1:] != kb[:-1]
+    seg_start = np.maximum.accumulate(np.where(first, np.arange(len(kb)), 0))
+    min_arr = ka[seg_start]
+    was_set = (min_arr < ka) & (kb != sent)
+    hit = np.empty(len(kb), bool)
+    hit[order] = was_set
+    return hit.reshape(C, H).all(axis=1) & valid
+
+
+def posk64_np(shard, keybody, l_pre: int, kb_bits: int) -> np.ndarray:
+    hi = shard.astype(np.uint64) << np.uint64(64 - l_pre)
+    rem = 64 - l_pre - kb_bits
+    if rem >= 0:
+        lo = keybody << np.uint64(rem)
+    else:
+        lo = keybody >> np.uint64(-rem)
+    return hi | lo
+
+
+def build_table_host(shard, keybody, payload, s_bits: int, margin: int,
+                     l_pre: int, kb_bits: int):
+    """Numpy twin of spectrum.build_table over already-sorted entries.
+
+    Returns (kb_payload u64[S], shard u32[S], max_slot)."""
+    n = len(shard)
+    S = (1 << s_bits) + margin
+    tab_kbp = np.zeros((S,), np.uint64)
+    tab_shard = np.full((S,), 0xFFFFFFFF, np.uint32)
+    if n == 0:
+        return tab_kbp, tab_shard, 0
+    pk = posk64_np(shard, keybody, l_pre, kb_bits)
+    ideal = (pk >> np.uint64(64 - s_bits)).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    slot = idx + np.maximum.accumulate(ideal - idx)
+    max_slot = int(slot[-1].max()) if n else 0
+    max_slot = int(slot.max())
+    tab_kbp[slot] = (keybody << np.uint64(14)) | payload.astype(np.uint64)
+    tab_shard[slot] = shard
+    return tab_kbp, tab_shard, max_slot
+
+
+def finalize_host(agg, bf_shift: int, n_hashes: int):
+    """Numpy twin of spectrum.finalize_counts: payloads + hist.
+
+    Returns (shard, keybody, payload) compact sorted arrays, hist,
+    hist_high."""
+    shard = np.asarray(agg.shard)
+    keybody = np.asarray(agg.keybody)
+    ret = np.asarray(agg.ret)
+    n = np.asarray(agg.n)
+    n_high = np.asarray(agg.n_high)
+    first_arr = np.asarray(agg.first_arr)
+    first_high = np.asarray(agg.first_high)
+    valid = shard != 0xFFFFFFFF
+    fp = adjudicate_np(ret, first_arr, valid, bf_shift, n_hashes).astype(np.uint32)
+    m = n - 1 + fp
+    high = n_high - (1 - fp) * first_high
+    keep = valid & (m >= 1)
+    count = np.minimum(m, 255)
+    high = np.minimum(high, 63)
+    payload = (count | (high << 8)).astype(np.uint32)
+    shard_c = shard[keep]
+    keybody_c = keybody[keep]
+    payload_c = payload[keep]
+    order = np.lexsort((keybody_c, shard_c))
+    shard_c, keybody_c, payload_c = shard_c[order], keybody_c[order], payload_c[order]
+    hist = np.bincount(payload_c & 0xFF, minlength=256)[:256]
+    hist[0] = 0
+    hist_high = np.bincount((payload_c >> 8) & 0x3F, minlength=64)[:64]
+    return shard_c, keybody_c, payload_c, hist, hist_high

@@ -1,0 +1,52 @@
+"""Host (numpy) finalize path vs the device finalize path: exact equality."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bfc_tpu.models import counter as C
+from bfc_tpu.ops import spectrum as spec
+from bfc_tpu.ops import spectrum_host as sph
+from bfc_tpu.opts import Opts
+
+from . import datagen
+
+
+def test_host_vs_device_finalize():
+    genome = datagen.make_genome(6000, seed=71)
+    reads = datagen.simulate_reads(genome, 1500, read_len=100, err_rate=0.02, seed=72)
+    opt = Opts()
+    opt.k = 19
+    opt.bf_shift = 22
+    agg, _ = C.count_stream_aggregate(iter(reads), opt, batch_reads=512)
+    # device path
+    shard, keybody, payload, keep, hist_d, hh_d = spec.finalize_counts(
+        agg, opt.bf_shift, opt.n_hashes
+    )
+    keep = np.asarray(keep)
+    dev = {
+        (int(s), int(kb)): int(p)
+        for s, kb, p, kp in zip(
+            np.asarray(shard), np.asarray(keybody), np.asarray(payload), keep
+        )
+        if kp
+    }
+    # host path
+    sh, kb, pl, hist_h, hh_h = sph.finalize_host(agg, opt.bf_shift, opt.n_hashes)
+    host = {(int(a), int(b)): int(c) for a, b, c in zip(sh, kb, pl)}
+    assert host == dev
+    np.testing.assert_array_equal(np.asarray(hist_d), hist_h)
+    np.testing.assert_array_equal(np.asarray(hh_d), hh_h)
+    # table builds agree slot for slot
+    s_bits = 13
+    margin = 4096
+    kbb = C.kops.keybody_bits(opt.k, opt.effective_l_pre())
+    t_dev, n_dev, ms_dev = spec.build_table(
+        shard, keybody, payload, jnp.asarray(keep), s_bits, margin,
+        opt.effective_l_pre(), kbb,
+    )
+    kbp_h, shard_h, ms_h = sph.build_table_host(
+        sh, kb, pl, s_bits, margin, opt.effective_l_pre(), kbb
+    )
+    np.testing.assert_array_equal(np.asarray(t_dev.kb_payload), kbp_h)
+    np.testing.assert_array_equal(np.asarray(t_dev.shard), shard_h)
+    assert int(ms_dev) == ms_h
