@@ -77,17 +77,19 @@ class ReadBatch:
 
 
 def _open_raw(fn: Optional[str]):
-    import io as _io
+    """Open a (possibly gzipped) file; (stream, owns_handle)."""
     import sys
 
     if fn is None or fn == "-":
-        return sys.stdin.buffer
+        # stdin: never closed, and a second pass sees the consumed stream
+        # (the reference behaves the same way: bseq_open(stdin) twice)
+        return sys.stdin.buffer, False
     raw = open(fn, "rb")
     magic = raw.read(2)
     raw.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=raw)
-    return raw
+        return gzip.GzipFile(fileobj=raw), True
+    return raw, True
 
 
 def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
@@ -97,7 +99,7 @@ def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Ite
         return
     import ctypes
 
-    fp = _open_raw(fn)
+    fp, owns = _open_raw(fn)
     tail = b""
     eof = False
     slow_mode = False
@@ -167,7 +169,8 @@ def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Ite
             _reads_from_text(tail.decode("ascii", "replace"), fn, fp),
             batch_reads,
         )
-    fp.close()
+    if owns:
+        fp.close()
 
 
 def _reads_from_text(text: str, fn, fp) -> Iterator[slow_io.Read]:
