@@ -32,10 +32,11 @@ def _round_up(x: int, m: int) -> int:
 class DeviceSpectrum:
     """Finalized spectrum: flat lookup table + metadata (device arrays)."""
 
-    def __init__(self, table: spec.Table, k: int, l_pre: int, s_bits: int,
+    def __init__(self, table, k: int, l_pre: int, s_bits: int,
                  n_entries: int, hist: np.ndarray, hist_high: np.ndarray,
                  mode: int,
-                 compact: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None):
+                 compact: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+                 packed: bool = False):
         self.table = table
         self.k = k
         self.l_pre = l_pre
@@ -45,11 +46,16 @@ class DeviceSpectrum:
         self.hist = hist
         self.hist_high = hist_high
         self.mode = mode
+        self.packed = packed
         self._compact = compact  # host (shard, keybody, payload) sorted arrays
 
     def lookup_hash(self, h0, h1):
         """Batched payload lookup from canonical-hash pairs (u64 arrays)."""
         q_shard, q_kb = kops.shard_and_keybody(h0, h1, self.k, self.l_pre)
+        if self.packed:
+            return spec.packed_lookup(
+                self.table, q_shard, q_kb, self.s_bits, self.l_pre, self.kb_bits
+            )
         return spec.table_lookup(
             self.table, q_shard, q_kb, self.s_bits, self.l_pre, self.kb_bits
         )
@@ -94,18 +100,29 @@ def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
     s_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2 + 1))))
     margin = 4096
     kb_bits = kops.keybody_bits(k, l_pre)
-    tab_kbp, tab_shard, max_slot = sph.build_table_host(
-        shard.astype(np.uint32), keybody.astype(np.uint64),
-        payload.astype(np.uint32), s_bits, margin, l_pre, kb_bits,
-    )
-    table = spec.Table(kb_payload=jnp.asarray(tab_kbp), shard=jnp.asarray(tab_shard))
+    # prefer the packed single-u64-entry layout (half the lookup gather
+    # traffic); fall back to the two-array layout when the identity does
+    # not fit (big k with a small table)
+    packed = spec.packed_ok(s_bits, l_pre, kb_bits)
+    if packed:
+        entries, max_slot = sph.build_packed_table_host(
+            shard.astype(np.uint32), keybody.astype(np.uint64),
+            payload.astype(np.uint32), s_bits, margin, l_pre, kb_bits,
+        )
+        table = spec.PackedTable(entries=jnp.asarray(entries))
+    else:
+        tab_kbp, tab_shard, max_slot = sph.build_table_host(
+            shard.astype(np.uint32), keybody.astype(np.uint64),
+            payload.astype(np.uint32), s_bits, margin, l_pre, kb_bits,
+        )
+        table = spec.Table(kb_payload=jnp.asarray(tab_kbp), shard=jnp.asarray(tab_shard))
     assert int(max_slot) <= (1 << s_bits) + margin - 2
     hist = np.bincount(np.minimum(payload & 0xFF, 255), minlength=256)[:256]
     hist[0] = 0
     hist_high = np.bincount((payload >> 8) & 0x3F, minlength=64)[:64]
     mode = _mode_from_hist(hist)
     return DeviceSpectrum(table, k, l_pre, s_bits, n, hist, hist_high, mode,
-                          compact=(shard, keybody, payload))
+                          compact=(shard, keybody, payload), packed=packed)
 
 
 def _mode_from_hist(hist: np.ndarray) -> int:
@@ -303,7 +320,7 @@ def finalize_spectrum(agg: spec.Aggregate, opt: Opts, host: bool = None) -> Devi
         np.asarray(payload)[order].astype(np.uint32),
     )
     return DeviceSpectrum(table, k, l_pre, s_bits, n, hist, hist_high, mode,
-                          compact=compact)
+                          compact=compact, packed=False)
 
 
 def _empty_agg(n: int) -> spec.Aggregate:

@@ -65,6 +65,7 @@ class SearchConfig(NamedTuple):
     s_bits: int
     l_pre: int
     kb_bits: int
+    packed: bool
 
 
 class State(NamedTuple):
@@ -194,15 +195,17 @@ def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
     return new_ec | (new_eph << U64(45))
 
 
-def _occ_of(table: spec.Table, cfg: SearchConfig, x0, x1, x2, x3):
+def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3):
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
+    if cfg.packed:
+        return spec.packed_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits)
     return spec.table_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "debug"))
 def ec1dir_batch(
-    table: spec.Table,
+    table,
     cfg: SearchConfig,
     seq_b,      # u8  [B,L] current bases (greedy fix applied)
     seq_q,      # bool [B,L] quality flag

@@ -271,6 +271,83 @@ class Table(NamedTuple):
     shard: jax.Array       # u32 [S+margin]; INVALID_SHARD = empty
 
 
+class PackedTable(NamedTuple):
+    """Single-u64-entry table: the dominant cost of the correction search
+    is random HBM gathers into the spectrum, so the entry packs
+    displacement(6) << 58 | identity_low << 14 | payload(14) into one
+    word - the identity's top s_bits are implied by the slot position
+    (ideal slot = entry slot - displacement), making lookups exact with
+    half the gather traffic of the two-array layout.  Usable whenever
+    identity_bits - s_bits <= 44; empty slots have payload == 0."""
+
+    entries: jax.Array  # u64 [S+margin]
+
+
+def identity_bits(l_pre: int, kb_bits: int) -> int:
+    return l_pre + kb_bits
+
+
+def packed_ok(s_bits: int, l_pre: int, kb_bits: int) -> bool:
+    return identity_bits(l_pre, kb_bits) - s_bits <= 44
+
+
+def _id_low(shard, keybody, l_pre: int, kb_bits: int, s_bits: int):
+    """Low identity_bits - s_bits bits of the (shard || keybody) string."""
+    nbits = identity_bits(l_pre, kb_bits) - s_bits
+    if nbits <= 0:
+        return jnp.zeros_like(keybody)
+    if nbits <= kb_bits:
+        return keybody & U64((1 << nbits) - 1)
+    extra = nbits - kb_bits
+    return ((shard.astype(U64) & U64((1 << extra) - 1)) << U64(kb_bits)) | keybody
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_bits", "l_pre", "kb_bits", "window")
+)
+def packed_lookup(table: PackedTable, q_shard, q_keybody, s_bits: int,
+                  l_pre: int, kb_bits: int, window: int = 4):
+    """Batched payload lookup against a PackedTable (htab.c:84-92)."""
+    pk = posk64(q_shard, q_keybody, l_pre, kb_bits)
+    q_ideal = (pk >> U64(64 - s_bits)).astype(jnp.int32)
+    q_low = _id_low(q_shard, q_keybody, l_pre, kb_bits, s_bits)
+    S = table.entries.shape[0]
+    nbits = max(identity_bits(l_pre, kb_bits) - s_bits, 0)
+    low_mask = U64((1 << nbits) - 1) if nbits else U64(0)
+
+    def probe_window(start):
+        offs = start[..., None] + jnp.arange(window, dtype=jnp.int32)
+        offs = jnp.minimum(offs, S - 1)
+        e = table.entries[offs]
+        empty = (e & U64(0x3FFF)) == 0
+        disp = (e >> U64(58)).astype(jnp.int32)
+        ideal_e = offs - disp
+        low_e = (e >> U64(14)) & low_mask
+        eq = ~empty & (ideal_e == q_ideal[..., None]) & (low_e == q_low[..., None])
+        gt = (ideal_e > q_ideal[..., None]) | (
+            (ideal_e == q_ideal[..., None]) & (low_e > q_low[..., None])
+        )
+        gt = (gt | empty) & ~eq
+        found = jnp.any(eq, axis=-1)
+        val = jnp.max(
+            jnp.where(eq, (e & U64(0x3FFF)).astype(jnp.int32), -1), axis=-1
+        )
+        miss = jnp.any(gt, axis=-1)
+        return found | miss, val
+
+    done, val = probe_window(q_ideal)
+    state = (done, val, q_ideal + window)
+
+    def body(stt):
+        done, val, nxt = stt
+        d2, v2 = probe_window(nxt)
+        val = jnp.where(~done & d2, v2, val)
+        return done | d2, val, nxt + window
+
+    done, val, _ = jax.lax.while_loop(lambda s: ~jnp.all(s[0]), body, state)
+    return val
+
+
 @functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
 def finalize_counts(agg: Aggregate, bf_shift: int, n_hashes: int):
     """Compute reference-exact payloads for every distinct k-mer.

@@ -93,6 +93,34 @@ def build_table_host(shard, keybody, payload, s_bits: int, margin: int,
     return tab_kbp, tab_shard, max_slot
 
 
+def build_packed_table_host(shard, keybody, payload, s_bits: int, margin: int,
+                            l_pre: int, kb_bits: int):
+    """Single-u64-entry table (see spectrum.PackedTable): disp<<58 |
+    identity_low<<14 | payload; empty slots are all-zero."""
+    n = len(shard)
+    S = (1 << s_bits) + margin
+    entries = np.zeros((S,), np.uint64)
+    if n == 0:
+        return entries, 0
+    pk = posk64_np(shard, keybody, l_pre, kb_bits)
+    ideal = (pk >> np.uint64(64 - s_bits)).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    slot = idx + np.maximum.accumulate(ideal - idx)
+    disp = (slot - ideal).astype(np.uint64)
+    assert disp.max() <= 62, "displacement exceeds the 6-bit field; raise s_bits"
+    nbits = l_pre + kb_bits - s_bits
+    if nbits <= 0:
+        id_low = np.zeros(n, np.uint64)
+    elif nbits <= kb_bits:
+        id_low = keybody & np.uint64((1 << nbits) - 1)
+    else:
+        extra = nbits - kb_bits
+        id_low = ((shard.astype(np.uint64) & np.uint64((1 << extra) - 1))
+                  << np.uint64(kb_bits)) | keybody
+    entries[slot] = (disp << np.uint64(58)) | (id_low << np.uint64(14)) | payload.astype(np.uint64)
+    return entries, int(slot.max())
+
+
 def finalize_host(agg, bf_shift: int, n_hashes: int):
     """Numpy twin of spectrum.finalize_counts: payloads + hist.
 

@@ -235,13 +235,10 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
     return out[0].reshape(-1), jnp.any(out[1])
 
 
-def replicate_table(table: spec.Table, mesh: Mesh) -> spec.Table:
+def replicate_table(table, mesh: Mesh):
     """Replicate the finalized table across the mesh for dp correction."""
     sh = NamedSharding(mesh, P())
-    return spec.Table(
-        kb_payload=jax.device_put(table.kb_payload, sh),
-        shard=jax.device_put(table.shard, sh),
-    )
+    return type(table)(*[jax.device_put(x, sh) for x in table])
 
 
 class MeshRef:
