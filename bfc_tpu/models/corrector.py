@@ -227,6 +227,12 @@ class Corrector:
         opt = self.opt
         n, L0 = bases0.shape
         L = (max(int(lens0.max()) if n else 1, 1) + 31) // 32 * 32
+        if L > 504:
+            # reads longer than the packed position field: exact scalar path
+            ch = self._fallback_table()
+            return [
+                M.ec1(opt, ch, self.ds.mode, *text_of(i)) for i in range(n)
+            ]
         self._pad_L = max(getattr(self, "_pad_L", 0), L)
         L = self._pad_L
         B = 256

@@ -9,18 +9,24 @@ exactly - including tie behavior (new/equal elements rise, heapdown
 prefers the left child on ties) - because the reference's output
 depends on structural tie-breaking among equal penalties.
 
-Layout: heap entries are immutable once pushed, so the heap itself only
-carries (tot_pen, stack_index, position) triples and the sift loops
-move three flat arrays; the full per-state payload (k-mer planes,
-correction-position history, backtrack links) is written once into the
-stack pool at push time and read once at pop.  The 5+2 recent
-correction positions (BFC_EC_HIST/BFC_EC_HIST_HIGH) are packed into a
-single u64 as 9-bit pos+1 fields.
+Performance layout (the search is bound by per-iteration gather/scatter
+work, so state is packed to minimize row operations):
 
-Fixed capacities (heap 128 >= the reference's ~104 reachable maximum
-given the max_heap=100 explosion guard at correct.c:349; stack/iter
-caps are config) with per-read overflow flags; overflowed reads are
-re-run on the scalar host model by the driver.
+  * the heap is ONE i32 array per read: pen(12) << 19 | i(9) << 10 |
+    (k+1)(10); the comparator shifts out the position/index bits so
+    penalty ties keep the reference's structural resolution;
+  * full per-state payload lives in the stack pool, written once per
+    push with all <=4 pushes batched into a single scatter per array;
+  * only forward k-mer planes are stored - every stack state holds a
+    full k-base window, so the RC planes are recomputed at pop as
+    rev_k(plane) ^ mask;
+  * sift loops run 3 levels and fall into the deep 4-level continuation
+    only when some lane's heap is large (p99 heap size is 4; the
+    explosion guard caps it near 104, hence 7 total levels).
+
+Fixed capacities with per-read overflow flags (penalty >= 4096, stack
+or iteration caps, read length > 504); overflowed reads are re-run on
+the exact scalar model by the driver.
 """
 
 from __future__ import annotations
@@ -37,7 +43,9 @@ from . import spectrum as spec
 I32 = jnp.int32
 U64 = jnp.uint64
 BIG = jnp.int32(1 << 30)
-HEAP_LEVELS = 7  # ceil(log2(heap_cap)); heap_cap fixed at 128
+HEAP_LEVELS = 7      # ceil(log2(heap_cap)); heap_cap fixed at 128
+SHALLOW_LEVELS = 3   # covers heaps up to 15 entries without the deep phase
+PEN_CAP = 4096       # packed-penalty overflow threshold (12 bits)
 
 # packed ecpos layout: bits [44:0] five 9-bit ec slots (newest at bits
 # [8:0]), bits [62:45] two 9-bit high-quality slots (newest at [53:45]);
@@ -68,20 +76,31 @@ class SearchConfig(NamedTuple):
     packed: bool
 
 
+def _he_pack(pen, zi, zk):
+    return (pen << 19) | (zi << 10) | (zk + 1)
+
+
+def _he_pen(he):
+    return he >> 19
+
+
+def _he_i(he):
+    return (he >> 10) & 511
+
+
+def _he_k(he):
+    return (he & 1023) - 1
+
+
 class State(NamedTuple):
-    # heap: (pen, stack index, position) triples; k = -1 marks the root state
-    hp_pen: jax.Array   # i32 [B,H]
-    hp_k: jax.Array     # i32 [B,H]
-    hp_i: jax.Array     # i32 [B,H]
+    hp: jax.Array       # i32 [B,H] packed heap entries
     heap_n: jax.Array   # i32 [B]
     # stack pool (ecstack1_t + the per-state payload)
     st_meta: jax.Array  # i32 [B,S]: i<<16 | (parent+1)<<6 | b<<4 | flags
     st_tot: jax.Array   # i32 [B,S]
     st_ecp: jax.Array   # u64 [B,S] packed correction-position history
-    st_x0: jax.Array    # u64 [B,S] k-mer planes
+    st_x0: jax.Array    # u64 [B,S] forward k-mer planes
     st_x1: jax.Array
-    st_x2: jax.Array
-    st_x3: jax.Array
     st_n: jax.Array     # i32 [B]
     # root (initial) state payload, addressed by k == -1
     root_x0: jax.Array  # u64 [B]
@@ -104,30 +123,62 @@ def _rows(n):
     return jnp.arange(n, dtype=jnp.int32)
 
 
-def heap_push(st: State, pen, kidx, pos, mask) -> State:
-    """ks_heapup insert of a (pen,k,i) triple (ksort.h:137-146)."""
-    B = pen.shape[0]
+def _sift_up(hp, k, pen, sifting, levels):
+    """ks_heapup levels: move parents with >= pen down (ties rise)."""
+    B, H = hp.shape
     r = _rows(B)
-    H = st.hp_pen.shape[1]
-    k = jnp.where(mask, st.heap_n, 0)
-    sifting = mask
-    hp_pen, hp_k, hp_i = st.hp_pen, st.hp_k, st.hp_i
-    for _ in range(HEAP_LEVELS):
+    for _ in range(levels):
         parent = jnp.maximum((k - 1) >> 1, 0)
-        move = sifting & (k > 0) & (pen <= hp_pen[r, parent])
+        par = hp[r, parent]
+        move = sifting & (k > 0) & (pen <= _he_pen(par))
         dst = jnp.where(move, k, H + 1)
-        hp_pen = hp_pen.at[r, dst].set(hp_pen[r, parent], mode="drop")
-        hp_k = hp_k.at[r, dst].set(hp_k[r, parent], mode="drop")
-        hp_i = hp_i.at[r, dst].set(hp_i[r, parent], mode="drop")
+        hp = hp.at[r, dst].set(par, mode="drop")
         k = jnp.where(move, parent, k)
         sifting = move
+    return hp, k, sifting
+
+
+def heap_push(st: State, he, mask) -> State:
+    """ks_heapup insert of a packed entry (ksort.h:137-146)."""
+    B = he.shape[0]
+    r = _rows(B)
+    H = st.hp.shape[1]
+    k = jnp.where(mask, st.heap_n, 0)
+    pen = _he_pen(he)
+    hp, k, sifting = _sift_up(st.hp, k, pen, mask, SHALLOW_LEVELS)
+    hp, k, _ = jax.lax.cond(
+        jnp.any(sifting),
+        lambda t: _sift_up(t[0], t[1], pen, t[2], HEAP_LEVELS - SHALLOW_LEVELS),
+        lambda t: t,
+        (hp, k, sifting),
+    )
     dst = jnp.where(mask, k, H + 1)
     return st._replace(
-        hp_pen=hp_pen.at[r, dst].set(pen, mode="drop"),
-        hp_k=hp_k.at[r, dst].set(kidx, mode="drop"),
-        hp_i=hp_i.at[r, dst].set(pos, mode="drop"),
+        hp=hp.at[r, dst].set(he, mode="drop"),
         heap_n=st.heap_n + mask.astype(I32),
     )
+
+
+def _sift_down(hp, i, n2, l_pen, sifting, levels):
+    """ks_heapdown levels (left child wins ties; equal children rise)."""
+    B, H = hp.shape
+    r = _rows(B)
+    for _ in range(levels):
+        child = 2 * i + 1
+        act = sifting & (child < n2)
+        top = jnp.maximum(n2 - 1, 0)
+        cc = jnp.minimum(child, top)
+        left = hp[r, cc]
+        right = hp[r, jnp.minimum(cc + 1, top)]
+        pick_right = act & (child != n2 - 1) & (_he_pen(left) > _he_pen(right))
+        c = jnp.where(pick_right, cc + 1, cc)
+        ce = jnp.where(pick_right, right, left)
+        cont = act & ~(_he_pen(ce) > l_pen)
+        dst = jnp.where(cont, i, H + 1)
+        hp = hp.at[r, dst].set(ce, mode="drop")
+        i = jnp.where(cont, c, i)
+        sifting = cont
+    return hp, i, sifting
 
 
 def heap_pop(st: State, mask):
@@ -136,41 +187,23 @@ def heap_pop(st: State, mask):
     Returns (state, z_pen, z_k, z_i)."""
     B = st.heap_n.shape[0]
     r = _rows(B)
-    H = st.hp_pen.shape[1]
-    z_pen = st.hp_pen[:, 0]
-    z_k = st.hp_k[:, 0]
-    z_i = st.hp_i[:, 0]
+    H = st.hp.shape[1]
+    root = st.hp[:, 0]
     n2 = jnp.where(mask, st.heap_n - 1, st.heap_n)
-    lastp = jnp.maximum(n2, 0)
-    l_pen = st.hp_pen[r, lastp]
-    l_k = st.hp_k[r, lastp]
-    l_i = st.hp_i[r, lastp]
-    hp_pen, hp_k, hp_i = st.hp_pen, st.hp_k, st.hp_i
+    last = st.hp[r, jnp.minimum(jnp.maximum(n2, 0), H - 1)]
+    l_pen = _he_pen(last)
     i = jnp.zeros((B,), I32)
     sifting = mask & (n2 > 0)
-    for _ in range(HEAP_LEVELS):
-        child = 2 * i + 1
-        act = sifting & (child < n2)
-        top = jnp.maximum(n2 - 1, 0)
-        cc = jnp.minimum(child, top)
-        right = hp_pen[r, jnp.minimum(cc + 1, top)]
-        pick_right = act & (child != n2 - 1) & (hp_pen[r, cc] > right)
-        c = jnp.where(pick_right, cc + 1, cc)
-        cont = act & ~(hp_pen[r, c] > l_pen)
-        dst = jnp.where(cont, i, H + 1)
-        hp_pen = hp_pen.at[r, dst].set(hp_pen[r, c], mode="drop")
-        hp_k = hp_k.at[r, dst].set(hp_k[r, c], mode="drop")
-        hp_i = hp_i.at[r, dst].set(hp_i[r, c], mode="drop")
-        i = jnp.where(cont, c, i)
-        sifting = cont
-    dst = jnp.where(mask & (n2 > 0), i, H + 1)
-    st = st._replace(
-        hp_pen=hp_pen.at[r, dst].set(l_pen, mode="drop"),
-        hp_k=hp_k.at[r, dst].set(l_k, mode="drop"),
-        hp_i=hp_i.at[r, dst].set(l_i, mode="drop"),
-        heap_n=n2,
+    hp, i, sifting = _sift_down(st.hp, i, n2, l_pen, sifting, SHALLOW_LEVELS)
+    hp, i, _ = jax.lax.cond(
+        jnp.any(sifting),
+        lambda t: _sift_down(t[0], t[1], n2, l_pen, t[2], HEAP_LEVELS - SHALLOW_LEVELS),
+        lambda t: t,
+        (hp, i, sifting),
     )
-    return st, z_pen, z_k, z_i
+    dst = jnp.where(mask & (n2 > 0), i, H + 1)
+    st = st._replace(hp=hp.at[r, dst].set(last, mode="drop"), heap_n=n2)
+    return st, _he_pen(root), _he_k(root), _he_i(root)
 
 
 def _weighted(cfg: SearchConfig, ec, ec_high, absent, absent_high):
@@ -199,8 +232,10 @@ def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3):
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
     if cfg.packed:
-        return spec.packed_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits)
-    return spec.table_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits)
+        return spec.packed_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
+                                  cfg.kb_bits)
+    return spec.table_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
+                             cfg.kb_bits)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "debug"))
@@ -225,7 +260,9 @@ def ec1dir_batch(
     B, L = seq_b.shape
     H, S = cfg.heap_cap, cfg.stack_cap
     assert S <= 1023, "stack_cap must fit the 10-bit parent field"
+    assert L <= 504, "read length exceeds the packed position field"
     k = cfg.k
+    kmask = U64((1 << k) - 1)
     end = lens  # the search end is always the read length (correct.c:425,430)
     r = _rows(B)
 
@@ -253,15 +290,12 @@ def ec1dir_batch(
     prev = jnp.maximum(init_i - 1, 0)
     maskk1 = U64((1 << (k - 1)) - 1)
     st = State(
-        hp_pen=jnp.zeros((B, H), I32),
-        hp_k=jnp.zeros((B, H), I32),
-        hp_i=jnp.zeros((B, H), I32),
+        hp=jnp.zeros((B, H), I32),
         heap_n=jnp.zeros((B,), I32),
         st_meta=jnp.zeros((B, S), I32),
         st_tot=jnp.zeros((B, S), I32),
         st_ecp=jnp.zeros((B, S), U64),
         st_x0=jnp.zeros((B, S), U64), st_x1=jnp.zeros((B, S), U64),
-        st_x2=jnp.zeros((B, S), U64), st_x3=jnp.zeros((B, S), U64),
         st_n=jnp.zeros((B,), I32),
         root_x0=bw_lo[r, prev] & maskk1,
         root_x1=bw_hi[r, prev] & maskk1,
@@ -277,7 +311,8 @@ def ec1dir_batch(
         max_heap=jnp.zeros((B,), I32),
         it=jnp.zeros((), I32),
     )
-    st = heap_push(st, jnp.zeros((B,), I32), jnp.full((B,), -1, I32), init_i, active)
+    st = heap_push(st, _he_pack(jnp.zeros((B,), I32), init_i, jnp.full((B,), -1, I32)),
+                   active)
 
     def body(st: State) -> State:
         act = ~st.done
@@ -297,8 +332,9 @@ def ec1dir_batch(
         zkc = jnp.maximum(z_k, 0)
         z_x0 = jnp.where(is_root, st.root_x0, st.st_x0[r, zkc])
         z_x1 = jnp.where(is_root, st.root_x1, st.st_x1[r, zkc])
-        z_x2 = jnp.where(is_root, st.root_x2, st.st_x2[r, zkc])
-        z_x3 = jnp.where(is_root, st.root_x3, st.st_x3[r, zkc])
+        # stack states always hold full k-base windows: RC = rev_k ^ mask
+        z_x2 = jnp.where(is_root, st.root_x2, kops.reverse_k(z_x0, k) ^ kmask)
+        z_x3 = jnp.where(is_root, st.root_x3, kops.reverse_k(z_x1, k) ^ kmask)
         z_ecp = jnp.where(is_root, U64(0), st.st_ecp[r, zkc])
         # give up when past the best path by max_path_diff (correct.c:288)
         brk = act & (st.min_path_k >= -1) & (
@@ -364,7 +400,9 @@ def ec1dir_batch(
             valid.append(jnp.where(is_keep, True, branch_ok))
             pens.append((p_ec, p_ech, p_abs, p_absh))
         valid = jnp.stack(valid, axis=1)  # [B,4]
-        keep_col = (~c_none)[:, None] & (jnp.arange(4, dtype=jnp.int32)[None, :] == c_b[:, None])
+        keep_col = (~c_none)[:, None] & (
+            jnp.arange(4, dtype=jnp.int32)[None, :] == c_b[:, None]
+        )
         other_ext = jnp.sum((valid & ~keep_col).astype(I32), axis=1)
         n_added = jnp.sum(valid.astype(I32), axis=1)
 
@@ -384,42 +422,64 @@ def ec1dir_batch(
         wp = jnp.stack([_weighted(cfg, *pens[b]) for b in range(4)], axis=1)
         wp_masked = jnp.where(valid, wp, BIG)
         winner = jnp.argmin(wp_masked, axis=1).astype(I32)
+        push = valid & add_cond[:, None] & (
+            ~guard[:, None] | (winner[:, None] == jnp.arange(4, dtype=I32)[None, :])
+        )
+        tot4 = z_pen[:, None] + wp                              # [B,4]
+        pen_of = tot4
+        flags4 = jnp.stack(
+            [
+                pens[b][0].astype(I32)
+                | (pens[b][1].astype(I32) << 1)
+                | (pens[b][2].astype(I32) << 2)
+                | (pens[b][3].astype(I32) << 3)
+                for b in range(4)
+            ],
+            axis=1,
+        )
+        # slot assignment preserves the b-ascending push order
+        rank = (jnp.cumsum(push.astype(I32), axis=1) - push.astype(I32)).astype(I32)
+        n_push = jnp.sum(push.astype(I32), axis=1).astype(I32)
+        slot4 = st.st_n[:, None] + rank
+        over = (st.st_n + n_push > S) & (n_push > 0)
+        pen_over = jnp.any(push & (tot4 >= PEN_CAP), axis=1)
+        over = over | pen_over
+        push = push & ~over[:, None]
+        n_push = jnp.where(over, 0, n_push)
+        st = st._replace(overflow=st.overflow | over, done=st.done | over)
+        meta4 = (
+            (zi[:, None] << 16)
+            | ((z_k + 1)[:, None] << 6)
+            | (jnp.arange(4, dtype=I32)[None, :] << 4)
+            | flags4
+        )
+        ecp4 = jnp.stack(
+            [_shift_ecp(z_ecp, zi, pens[b][0], pens[b][1]) for b in range(4)],
+            axis=1,
+        )
+        nx0_4 = jnp.stack(
+            [((z_x0 << U64(1)) | U64(b & 1)) & kmask for b in range(4)], axis=1
+        )
+        nx1_4 = jnp.stack(
+            [((z_x1 << U64(1)) | U64(b >> 1)) & kmask for b in range(4)], axis=1
+        )
+        dst4 = jnp.where(push, jnp.minimum(slot4, S - 1), S + 1)
+        st = st._replace(
+            st_meta=st.st_meta.at[r[:, None], dst4].set(meta4, mode="drop"),
+            st_tot=st.st_tot.at[r[:, None], dst4].set(tot4, mode="drop"),
+            st_ecp=st.st_ecp.at[r[:, None], dst4].set(ecp4, mode="drop"),
+            st_x0=st.st_x0.at[r[:, None], dst4].set(nx0_4, mode="drop"),
+            st_x1=st.st_x1.at[r[:, None], dst4].set(nx1_4, mode="drop"),
+            st_n=st.st_n + n_push,
+        )
+        # heap inserts, sequential in b order (each with its own sift-up)
         for b in range(4):
-            push_b = add_cond & valid[:, b] & (~guard | (winner == b))
-            p_ec, p_ech, p_abs, p_absh = pens[b]
-            # stack append (buf_update, correct.c:198-230)
-            over = push_b & (st.st_n >= S)
-            push_b = push_b & ~over
-            st = st._replace(overflow=st.overflow | over, done=st.done | over)
-            tot = z_pen + _weighted(cfg, p_ec, p_ech, p_abs, p_absh)
-            meta = (
-                (zi << 16)
-                | ((z_k + 1) << 6)
-                | (b << 4)
-                | p_ec.astype(I32)
-                | (p_ech.astype(I32) << 1)
-                | (p_abs.astype(I32) << 2)
-                | (p_absh.astype(I32) << 3)
-            )
-            nx = kops.append_base(z_x0, z_x1, z_x2, z_x3,
-                                  jnp.full((B,), b, I32), k)
-            necp = _shift_ecp(z_ecp, zi, p_ec, p_ech)
-            dst = jnp.where(push_b, st.st_n, S + 1)
-            st = st._replace(
-                st_meta=st.st_meta.at[r, dst].set(meta, mode="drop"),
-                st_tot=st.st_tot.at[r, dst].set(tot, mode="drop"),
-                st_ecp=st.st_ecp.at[r, dst].set(necp, mode="drop"),
-                st_x0=st.st_x0.at[r, dst].set(nx[0], mode="drop"),
-                st_x1=st.st_x1.at[r, dst].set(nx[1], mode="drop"),
-                st_x2=st.st_x2.at[r, dst].set(nx[2], mode="drop"),
-                st_x3=st.st_x3.at[r, dst].set(nx[3], mode="drop"),
-            )
-            new_k = st.st_n
-            st = st._replace(st_n=st.st_n + push_b.astype(I32))
+            push_b = push[:, b]
             over2 = push_b & (st.heap_n >= H)
             push_b = push_b & ~over2
             st = st._replace(overflow=st.overflow | over2, done=st.done | over2)
-            st = heap_push(st, tot, new_k, zi + 1, push_b)
+            he = _he_pack(tot4[:, b], zi + 1, slot4[:, b])
+            st = heap_push(st, he, push_b)
         # dead end past the read (correct.c:361-363)
         dead = ext & ~add_cond
         dead_pen = dead & (n_added == 0)
