@@ -314,7 +314,101 @@ def ec1dir_batch(
     st = heap_push(st, _he_pack(jnp.zeros((B,), I32), init_i, jnp.full((B,), -1, I32)),
                    active)
 
+    # ---- fast-forward precomputation ------------------------------------
+    # Most pops are forced keep-steps at "fixed" positions with a
+    # single-entry heap; those iterations are exactly equivalent to
+    # replacing the heap root and appending one stack node, and their
+    # decision inputs depend only on the position when the state's
+    # k-window is uncorrected ("clean").  Precompute, per position j:
+    # would a clean state at j be fixed, what penalty does its keep step
+    # cost, and how long is the forced run starting at j.
+    FF_STEP = 16
+    x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
+    wvalid = kops.valid_kmer_mask(seq_b, lens, k)
+    occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)
+    q_pos = seq_q & (seq_b <= 3)
+    os_cnt_pre = occ_pre & 0xFF          # -1 reads as 255 (the correct.c:300 quirk)
+    fixed_pre = (seq_b < 4) & (
+        (q_pos & (os_cnt_pre >= cfg.min_cov + 1) & (lcov >= cfg.min_cov + 1))
+        | (hcov > k * 3 // 4)
+    )
+    ffable = fixed_pre & (idx[None, :] < lens[:, None])
+    p_abs_pre = (occ_pre < 0) | ((occ_pre & 0xFF) < cfg.min_cov)
+    p_absh_pre = (occ_pre < 0) | (((occ_pre >> 8) & 0xFF) < cfg.min_cov)
+    pen_step = cfg.w_absent * p_abs_pre.astype(I32) + cfg.w_absent_high * p_absh_pre.astype(I32)
+    flags_pre = (p_abs_pre.astype(I32) << 2) | (p_absh_pre.astype(I32) << 3)
+    pencum = jnp.cumsum(pen_step, axis=-1).astype(I32)  # inclusive prefix
+    # forced-run length starting at j, via a reversed run-length scan
+    rev_bad = jnp.where(~ffable[:, ::-1], jnp.arange(L, dtype=I32)[None, :], -1)
+    last_bad_rev = jax.lax.associative_scan(jnp.maximum, rev_bad, axis=-1)
+    # in reversed coordinates, last bad at or before position p; run at
+    # original j = (L-1-p): distance to previous bad in reversed = run
+    ff_run_rev = jnp.arange(L, dtype=I32)[None, :] - last_bad_rev
+    ff_run = ff_run_rev[:, ::-1]
+
     def body(st: State) -> State:
+        # ---- fast-forward pre-step (exact: heap of one, clean window)
+        root = st.hp[:, 0]
+        f_zi = _he_i(root)
+        f_zk = _he_k(root)
+        f_pen = _he_pen(root)
+        f_zkc = jnp.maximum(f_zk, 0)
+        f_ecp = jnp.where(f_zk < 0, U64(0), st.st_ecp[r, f_zkc])
+        newest = (f_ecp & U64(511)).astype(I32)  # pos+1, 0 = none
+        # clean = the state's window equals the precomputed one: no
+        # correction in the last k positions AND no N crossed (crossing
+        # an N substitutes a base without an ecpos record - the
+        # reference's pen.ec is 0 when the read base is N)
+        clean = ((newest == 0) | (f_zi - (newest - 1) > k)) & (
+            (f_zi >= 1) & wvalid[r, jnp.maximum(f_zi - 1, 0)]
+        )
+        f_zic = jnp.minimum(f_zi, L - 1)
+        steps = jnp.minimum(jnp.minimum(ff_run[r, f_zic], FF_STEP), S - st.st_n)
+        elig = (
+            ~st.done
+            & (st.heap_n == 1)
+            & (st.n_paths == 0)
+            & clean
+            & (steps > 0)
+            & (f_zi < lens)
+        )
+        base_cum = jnp.where(f_zi > 0, pencum[r, jnp.maximum(f_zi - 1, 0)], 0)
+        last_pos = jnp.minimum(f_zi + steps - 1, L - 1)
+        pen_end = f_pen + pencum[r, last_pos] - base_cum
+        elig = elig & (pen_end < PEN_CAP)
+        stepsm = jnp.where(elig, steps, 0)
+        # write the forced-keep chain nodes in one batched scatter
+        toff = jnp.arange(FF_STEP, dtype=I32)
+        posT = jnp.minimum(f_zi[:, None] + toff[None, :], L - 1)     # [B,T]
+        inT = toff[None, :] < stepsm[:, None]
+        slotT = st.st_n[:, None] + toff[None, :]
+        parentT = jnp.where(
+            toff[None, :] == 0, f_zk[:, None], slotT - 1
+        )
+        bT = seq_b[r[:, None], posT].astype(I32)
+        metaT = (
+            ((f_zi[:, None] + toff[None, :]) << 16)
+            | ((parentT + 1) << 6)
+            | (bT << 4)
+            | flags_pre[r[:, None], posT]
+        )
+        totT = f_pen[:, None] + pencum[r[:, None], posT] - base_cum[:, None]
+        dstT = jnp.where(inT, jnp.minimum(slotT, S - 1), S + 1)
+        st = st._replace(
+            st_meta=st.st_meta.at[r[:, None], dstT].set(metaT, mode="drop"),
+            st_tot=st.st_tot.at[r[:, None], dstT].set(totT, mode="drop"),
+            st_ecp=st.st_ecp.at[r[:, None], dstT].set(
+                jnp.broadcast_to(f_ecp[:, None], (B, FF_STEP)), mode="drop"
+            ),
+            st_x0=st.st_x0.at[r[:, None], dstT].set(x0w[r[:, None], posT], mode="drop"),
+            st_x1=st.st_x1.at[r[:, None], dstT].set(x1w[r[:, None], posT], mode="drop"),
+            st_n=st.st_n + stepsm,
+        )
+        new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
+        st = st._replace(
+            hp=st.hp.at[r, jnp.where(elig, 0, H + 1)].set(new_root, mode="drop")
+        )
+
         act = ~st.done
         st = st._replace(
             max_heap=jnp.where(
