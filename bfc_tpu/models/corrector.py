@@ -46,7 +46,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
         max_path_diff=opt.max_path_diff, max_heap=opt.max_heap,
         heap_cap=128, stack_cap=stack_cap, iter_cap=iter_cap,
         s_bits=ds.s_bits, l_pre=ds.l_pre, kb_bits=ds.kb_bits,
-        packed=ds.packed,
+        packed=ds.packed, ff_step=0,
     )
 
 

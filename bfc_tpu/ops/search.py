@@ -74,6 +74,7 @@ class SearchConfig(NamedTuple):
     l_pre: int
     kb_bits: int
     packed: bool
+    ff_step: int  # fast-forward run length (0 = disabled)
 
 
 def _he_pack(pen, zi, zk):
@@ -322,7 +323,12 @@ def ec1dir_batch(
     # k-window is uncorrected ("clean").  Precompute, per position j:
     # would a clean state at j be fixed, what penalty does its keep step
     # cost, and how long is the forced run starting at j.
-    FF_STEP = 16
+    #
+    # NOTE: exact but currently a net loss under XLA (the [B,STEP]
+    # scatters outweigh the saved iterations); default-off via
+    # cfg.ff_step=0, kept for the Pallas search kernel where the same
+    # precomputation drives near-free in-kernel run skipping.
+    FF_STEP = cfg.ff_step
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
     occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)
@@ -346,7 +352,7 @@ def ec1dir_batch(
     ff_run_rev = jnp.arange(L, dtype=I32)[None, :] - last_bad_rev
     ff_run = ff_run_rev[:, ::-1]
 
-    def body(st: State) -> State:
+    def ff_prestep(st: State) -> State:
         # ---- fast-forward pre-step (exact: heap of one, clean window)
         root = st.hp[:, 0]
         f_zi = _he_i(root)
@@ -405,10 +411,13 @@ def ec1dir_batch(
             st_n=st.st_n + stepsm,
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
-        st = st._replace(
+        return st._replace(
             hp=st.hp.at[r, jnp.where(elig, 0, H + 1)].set(new_root, mode="drop")
         )
 
+    def body(st: State) -> State:
+        if FF_STEP > 0:
+            st = ff_prestep(st)
         act = ~st.done
         st = st._replace(
             max_heap=jnp.where(
