@@ -124,16 +124,32 @@ def _rows(n):
     return jnp.arange(n, dtype=jnp.int32)
 
 
+def _hcols(H):
+    return jnp.arange(H, dtype=jnp.int32)
+
+
+def _hget(hp, pos):
+    """Dense one-hot row extraction: the heap is small ([B,128] i32), so
+    masked reduction is bandwidth-bound (~MBs) while XLA lowers dynamic
+    row gathers to serialized per-row loops (~10x slower)."""
+    H = hp.shape[1]
+    oh = _hcols(H)[None, :] == pos[:, None]
+    return jnp.sum(jnp.where(oh, hp, 0), axis=1, dtype=jnp.int32)
+
+
+def _hset(hp, pos, val, mask):
+    H = hp.shape[1]
+    oh = (_hcols(H)[None, :] == pos[:, None]) & mask[:, None]
+    return jnp.where(oh, val[:, None], hp)
+
+
 def _sift_up(hp, k, pen, sifting, levels):
     """ks_heapup levels: move parents with >= pen down (ties rise)."""
-    B, H = hp.shape
-    r = _rows(B)
     for _ in range(levels):
         parent = jnp.maximum((k - 1) >> 1, 0)
-        par = hp[r, parent]
+        par = _hget(hp, parent)
         move = sifting & (k > 0) & (pen <= _he_pen(par))
-        dst = jnp.where(move, k, H + 1)
-        hp = hp.at[r, dst].set(par, mode="drop")
+        hp = _hset(hp, k, par, move)
         k = jnp.where(move, parent, k)
         sifting = move
     return hp, k, sifting
@@ -153,30 +169,26 @@ def heap_push(st: State, he, mask) -> State:
         lambda t: t,
         (hp, k, sifting),
     )
-    dst = jnp.where(mask, k, H + 1)
     return st._replace(
-        hp=hp.at[r, dst].set(he, mode="drop"),
+        hp=_hset(hp, k, he, mask),
         heap_n=st.heap_n + mask.astype(I32),
     )
 
 
 def _sift_down(hp, i, n2, l_pen, sifting, levels):
     """ks_heapdown levels (left child wins ties; equal children rise)."""
-    B, H = hp.shape
-    r = _rows(B)
     for _ in range(levels):
         child = 2 * i + 1
         act = sifting & (child < n2)
         top = jnp.maximum(n2 - 1, 0)
         cc = jnp.minimum(child, top)
-        left = hp[r, cc]
-        right = hp[r, jnp.minimum(cc + 1, top)]
+        left = _hget(hp, cc)
+        right = _hget(hp, jnp.minimum(cc + 1, top))
         pick_right = act & (child != n2 - 1) & (_he_pen(left) > _he_pen(right))
         c = jnp.where(pick_right, cc + 1, cc)
         ce = jnp.where(pick_right, right, left)
         cont = act & ~(_he_pen(ce) > l_pen)
-        dst = jnp.where(cont, i, H + 1)
-        hp = hp.at[r, dst].set(ce, mode="drop")
+        hp = _hset(hp, i, ce, cont)
         i = jnp.where(cont, c, i)
         sifting = cont
     return hp, i, sifting
@@ -191,7 +203,7 @@ def heap_pop(st: State, mask):
     H = st.hp.shape[1]
     root = st.hp[:, 0]
     n2 = jnp.where(mask, st.heap_n - 1, st.heap_n)
-    last = st.hp[r, jnp.minimum(jnp.maximum(n2, 0), H - 1)]
+    last = _hget(st.hp, jnp.minimum(jnp.maximum(n2, 0), H - 1))
     l_pen = _he_pen(last)
     i = jnp.zeros((B,), I32)
     sifting = mask & (n2 > 0)
@@ -202,8 +214,7 @@ def heap_pop(st: State, mask):
         lambda t: t,
         (hp, i, sifting),
     )
-    dst = jnp.where(mask & (n2 > 0), i, H + 1)
-    st = st._replace(hp=hp.at[r, dst].set(last, mode="drop"), heap_n=n2)
+    st = st._replace(hp=_hset(hp, i, last, mask & (n2 > 0)), heap_n=n2)
     return st, _he_pen(root), _he_k(root), _he_i(root)
 
 
@@ -412,7 +423,7 @@ def ec1dir_batch(
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
         return st._replace(
-            hp=st.hp.at[r, jnp.where(elig, 0, H + 1)].set(new_root, mode="drop")
+            hp=_hset(st.hp, jnp.zeros((B,), I32), new_root, elig)
         )
 
     def body(st: State) -> State:
