@@ -460,13 +460,23 @@ def ec1dir_batch(
         ext = act & ~early_stop
 
         # ---- candidate generation (correct.c:291-341)
+        # per-read column extraction runs dense (one-hot mask + reduce):
+        # the rows are short and XLA's dynamic row gather serializes
         zic = jnp.minimum(zi, L - 1)
+        ohz = idx[None, :] == zic[:, None]
         c_none = zi >= lens
-        c_b = jnp.where(c_none, 4, seq_b[r, zic].astype(I32))
-        c_q = ~c_none & seq_q[r, zic]
-        c_oq = ~c_none & seq_oq[r, zic]
-        c_lcov = jnp.where(c_none, 0, lcov[r, zic])
-        c_hcov = jnp.where(c_none, 0, hcov[r, zic])
+        c_b = jnp.where(
+            c_none, 4,
+            jnp.sum(jnp.where(ohz, seq_b, 0), axis=1, dtype=I32),
+        )
+        c_q = ~c_none & jnp.any(ohz & seq_q, axis=1)
+        c_oq = ~c_none & jnp.any(ohz & seq_oq, axis=1)
+        c_lcov = jnp.where(
+            c_none, 0, jnp.sum(jnp.where(ohz, lcov, 0), axis=1, dtype=I32)
+        )
+        c_hcov = jnp.where(
+            c_none, 0, jnp.sum(jnp.where(ohz, hcov, 0), axis=1, dtype=I32)
+        )
         occ = []
         for b in range(4):
             nx = kops.append_base(z_x0, z_x1, z_x2, z_x3,
@@ -474,7 +484,10 @@ def ec1dir_batch(
             occ.append(_occ_of(table, cfg, *nx))
         occ = jnp.stack(occ, axis=1)  # i32 [B,4]
         cb_ok = ~c_none & (c_b < 4)
-        os = jnp.where(cb_ok, occ[r, jnp.minimum(c_b, 3)], -1)
+        oh4 = jnp.arange(4, dtype=I32)[None, :] == jnp.minimum(c_b, 3)[:, None]
+        os = jnp.where(
+            cb_ok, jnp.sum(jnp.where(oh4, occ, 0), axis=1, dtype=I32), -1
+        )
         os_cnt = os & 0xFF          # NB: os==-1 reads as 255 (correct.c:300 quirk)
         fixed = (zi > end) | (
             cb_ok
