@@ -98,7 +98,6 @@ class State(NamedTuple):
     heap_n: jax.Array   # i32 [B]
     # stack pool (ecstack1_t + the per-state payload)
     st_meta: jax.Array  # i32 [B,S]: i<<16 | (parent+1)<<6 | b<<4 | flags
-    st_tot: jax.Array   # i32 [B,S]
     st_ecp: jax.Array   # u64 [B,S] packed correction-position history
     st_x0: jax.Array    # u64 [B,S] forward k-mer planes
     st_x1: jax.Array
@@ -305,7 +304,6 @@ def ec1dir_batch(
         hp=jnp.zeros((B, H), I32),
         heap_n=jnp.zeros((B,), I32),
         st_meta=jnp.zeros((B, S), I32),
-        st_tot=jnp.zeros((B, S), I32),
         st_ecp=jnp.zeros((B, S), U64),
         st_x0=jnp.zeros((B, S), U64), st_x1=jnp.zeros((B, S), U64),
         st_n=jnp.zeros((B,), I32),
@@ -413,7 +411,6 @@ def ec1dir_batch(
         dstT = jnp.where(inT, jnp.minimum(slotT, S - 1), S + 1)
         st = st._replace(
             st_meta=st.st_meta.at[r[:, None], dstT].set(metaT, mode="drop"),
-            st_tot=st.st_tot.at[r[:, None], dstT].set(totT, mode="drop"),
             st_ecp=st.st_ecp.at[r[:, None], dstT].set(
                 jnp.broadcast_to(f_ecp[:, None], (B, FF_STEP)), mode="drop"
             ),
@@ -593,7 +590,6 @@ def ec1dir_batch(
         dst4 = jnp.where(push, jnp.minimum(slot4, S - 1), S + 1)
         st = st._replace(
             st_meta=st.st_meta.at[r[:, None], dst4].set(meta4, mode="drop"),
-            st_tot=st.st_tot.at[r[:, None], dst4].set(tot4, mode="drop"),
             st_ecp=st.st_ecp.at[r[:, None], dst4].set(ecp4, mode="drop"),
             st_x0=st.st_x0.at[r[:, None], dst4].set(nx0_4, mode="drop"),
             st_x1=st.st_x1.at[r[:, None], dst4].set(nx1_4, mode="drop"),
@@ -607,17 +603,16 @@ def ec1dir_batch(
             st = st._replace(overflow=st.overflow | over2, done=st.done | over2)
             he = _he_pack(tot4[:, b], zi + 1, slot4[:, b])
             st = heap_push(st, he, push_b)
-        # dead end past the read (correct.c:361-363)
+        # dead end past the read (correct.c:361-363).  The stack carries
+        # no tot column: a heap entry's penalty always equals its stack
+        # node's, and the dead-end adjustment is only ever read by the
+        # stop bookkeeping of this same pop.
         dead = ext & ~add_cond
         dead_pen = dead & (n_added == 0)
-        zk_w = jnp.where(dead_pen, zkc, S + 1)
-        st = st._replace(
-            st_tot=st.st_tot.at[r, zk_w].add(
-                cfg.w_absent * (cfg.max_end_ext - (zi - end)), mode="drop"
-            )
-        )
         stop = (act & early_stop) | dead
-        stop_pen = st.st_tot[r, zkc]
+        stop_pen = z_pen + jnp.where(
+            dead_pen, cfg.w_absent * (cfg.max_end_ext - (zi - end)), 0
+        )
         better = stop & (stop_pen < st.min_path_pen)
         st = st._replace(
             min_path_pen=jnp.where(better, stop_pen, st.min_path_pen),
