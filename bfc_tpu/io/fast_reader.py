@@ -92,6 +92,38 @@ def _open_raw(fn: Optional[str]):
     return raw, True
 
 
+def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
+                          depth: int = 2) -> Iterator[ReadBatch]:
+    """iter_batches with a background reader thread (the host-side
+    analogue of the reference's kt_pipeline I/O step overlapping
+    compute, kthread.c:118-146).  Parsing/encoding of the next batch
+    proceeds while the caller runs the device step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for rb in iter_batches(fn, batch_reads):
+                q.put(rb)
+            q.put(_END)
+        except BaseException as e:  # surface errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
+
+
 def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
     lib = get_lib()
     if lib is None:

@@ -28,7 +28,7 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
 
     corr = Corrector(opt, ds, mesh=mesh)
     n_done = 0
-    for rb in FR.iter_batches(fn, batch_reads):
+    for rb in FR.iter_batches_prefetch(fn, batch_reads):
         n = rb.n
         if opt.refine_ec:
             _refine_batch(rb, opt, corr, out)

@@ -160,7 +160,7 @@ class Trimmer:
         from ..io import fast_reader as FR
 
         pad_L = 0
-        for rb in FR.iter_batches(fn, batch_reads):
+        for rb in FR.iter_batches_prefetch(fn, batch_reads):
             n = rb.n
             reads = [
                 Read(name=rb.name(i), comment=rb.comment(i), seq=rb.seq(i),
