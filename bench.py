@@ -5,11 +5,11 @@ Baseline anchor: reference bfc -t16 on NA12878 human reads sustains
 ~42k corrected reads/s on a 20-core E5-2660 (BASELINE.md).
 
 Environment knobs:
-  BENCH_GENOME   genome length  [500000]
-  BENCH_COVERAGE fold coverage  [100]
+  BENCH_GENOME   genome length  [250000]
+  BENCH_COVERAGE fold coverage  [60]
   BENCH_READLEN  read length    [100]
   BENCH_K        k-mer length   [25]
-  BENCH_BATCH    correction batch size [4096]
+  BENCH_BATCH    correction batch size [2048]
 """
 
 from __future__ import annotations
@@ -29,32 +29,35 @@ def main() -> int:
     from bfc_tpu.models import counter as C
     from bfc_tpu.opts import Opts
 
-    glen = int(os.environ.get("BENCH_GENOME", 500_000))
-    cov = int(os.environ.get("BENCH_COVERAGE", 100))
+    glen = int(os.environ.get("BENCH_GENOME", 250_000))
+    cov = int(os.environ.get("BENCH_COVERAGE", 60))
     rlen = int(os.environ.get("BENCH_READLEN", 100))
     k = int(os.environ.get("BENCH_K", 25))
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
 
-    rng = random.Random(1234)
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
     sys.stderr.write(f"[bench] generating genome={glen} cov={cov}x len={rlen}\n")
-    genome = "".join(rng.choice("ACGT") for _ in range(glen))
     n_reads = glen * cov // rlen
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    reads = []
-    for _ in range(n_reads):
-        p = rng.randrange(0, glen - rlen)
-        frag = genome[p : p + rlen]
-        if rng.random() < 0.5:
-            frag = "".join(comp[c] for c in reversed(frag))
-        s = list(frag)
-        q = []
-        for i in range(rlen):
-            if rng.random() < 0.01:
-                s[i] = rng.choice([b for b in "ACGT" if b != s[i]])
-                q.append(chr(33 + rng.randrange(2, 15)))
-            else:
-                q.append(chr(33 + 30 + rng.randrange(0, 10)))
-        reads.append(("".join(s), "".join(q)))
+    gcodes = rng.integers(0, 4, glen).astype(np.uint8)
+    starts = rng.integers(0, glen - rlen, n_reads)
+    mat = gcodes[starts[:, None] + np.arange(rlen)[None, :]]
+    rc = rng.random(n_reads) < 0.5
+    mat[rc] = 3 - mat[rc, ::-1]
+    err = rng.random((n_reads, rlen)) < 0.01
+    mat = np.where(err, (mat + rng.integers(1, 4, mat.shape)) % 4, mat).astype(np.uint8)
+    qmat = np.where(
+        err,
+        33 + 2 + rng.integers(0, 13, mat.shape),
+        33 + 30 + rng.integers(0, 10, mat.shape),
+    ).astype(np.uint8)
+    basechars = np.frombuffer(b"ACGT", np.uint8)
+    seq_bytes = basechars[mat]
+    reads = [
+        (seq_bytes[i].tobytes().decode(), qmat[i].tobytes().decode())
+        for i in range(n_reads)
+    ]
 
     opt = Opts()
     opt.k = k
