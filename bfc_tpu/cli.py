@@ -143,6 +143,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     correct_fn = args[1] if len(args) > 1 else None
     if use_scalar:
         from .models import pipeline as P
+        from .models import refmodel as _rm
+
+        _rm.verbose = opt.verbose
 
         out = P.run(opt, count_fn, correct_fn=correct_fn, in_hash=in_hash,
                     out_hash=out_hash, no_ec=no_ec)

@@ -33,6 +33,18 @@ from ..opts import (
 
 U64 = (1 << 64) - 1
 
+# mirrors the reference's global bfc_verbose (bfc.c:13); >= 4 prints the
+# full per-read search trace in the reference's stderr format
+# (correct.c:284-287,302-306,321-322,380-384) - available on the
+# --scalar CLI path for read-level debugging parity
+verbose = 3
+
+
+def _tr(msg: str) -> None:
+    import sys
+
+    sys.stderr.write(msg + "\n")
+
 # ---------------------------------------------------------------------------
 # Base codec (reference bseq.c:9-26; values are nt6-1: A=0 C=1 G=2 T=3, else 4)
 # ---------------------------------------------------------------------------
@@ -652,8 +664,13 @@ def ec1dir(
         heap.append(
             HeapEnt(tot_pen=tot, i=prev.i + 1, k=len(stack) - 1, ecpos_high=eph, ecpos=ep, x=tuple(nx))
         )
+        if verbose >= 4:
+            _tr("     <= base:%c penalty:%d"
+                % (("acgtn" if pen_ec else "ACGTN")[pen_b], tot))
         _heap_up(heap)
 
+    if verbose >= 4:
+        _tr(f"* bfc_ec1dir(): len:{n} start:{start} end:{end}")
     while True:
         if stats is not None:
             stats.iters += 1
@@ -670,6 +687,15 @@ def ec1dir(
         if heap:
             heap[0] = last
             _heap_down(heap, len(heap))
+        if verbose >= 4:
+            _tr(
+                "  => pos:%d stack_size:%d heap_size:%d penalty:%d last_base:%c "
+                "ecpos_high:[%d,%d] ecpos:[%d,%d,%d,%d,%d]"
+                % (z.i, len(stack), len(heap), z.tot_pen,
+                   "ACGT"[((z.x[1] & 1) << 1) | (z.x[0] & 1)],
+                   z.ecpos_high[0], z.ecpos_high[1],
+                   z.ecpos[0], z.ecpos[1], z.ecpos[2], z.ecpos[3], z.ecpos[4])
+            )
         if min_path >= 0 and z.tot_pen > min_path_pen + opt.max_path_diff:
             break
         stop = z.i - end > opt.max_end_ext
@@ -691,6 +717,10 @@ def ec1dir(
                     fixed = 1
                 elif c.hcov > k * 0.75:
                     fixed = 1
+                if verbose >= 4:
+                    occs = f"{os & 0xFF},{(os >> 8) & 0x3F}" if os >= 0 else "-1,-1"
+                    _tr(f"     Original base:%c qual:%d fixed:%d count:%s"
+                        % ("ACGTN"[c.b], c.q, fixed, occs))
             for b in range(4):
                 if fixed and c is not None and b != c.b:
                     continue
@@ -710,6 +740,9 @@ def ec1dir(
                     x2 = list(z.x)
                     kmer_append(k, x2, b)
                     s_occ = ch.kmer_occ(x2)
+                    if verbose >= 4 and s_occ >= 0:
+                        _tr("     Alternative k-mer count: %c,%d:%d"
+                            % ("ACGTN"[b], s_occ & 0xFF, (s_occ >> 8) & 0x3F))
                     if s_occ < 0 or (s_occ & 0xFF) < opt.min_cov:
                         continue
                     pen_ec = 1 if (c is not None and c.b < 4) else 0
@@ -750,6 +783,8 @@ def ec1dir(
                 min_path_pen = stack[z.k].tot_pen
                 min_path = len(paths)
             paths.append(z.k)
+            if verbose >= 4:
+                _tr(f"  @@ n_paths={len(paths)} penalty={stack[z.k].tot_pen}")
             if len(paths) == BFC_MAX_PATHS:
                 break
 
@@ -820,6 +855,8 @@ def ec1(
             return st, seq, qual
     else:
         start, end = r >> 32, r & 0xFFFFFFFF
+    if verbose >= 4:
+        _tr(f"* Longest solid island: [{start},{end})")
     ec0 = [EcBase() for _ in range(n)]
     ec1v = [EcBase() for _ in range(n)]
     rv0, mh0 = ec1dir(opt, ch, s, ec0, start, n, stats)
