@@ -136,6 +136,17 @@ def _hget(hp, pos):
     return jnp.sum(jnp.where(oh, hp, 0), axis=1, dtype=jnp.int32)
 
 
+def _rowget(arr, pos):
+    """Dense per-row element extraction for any non-negative-valued pool
+    array (measured: XLA serializes dynamic row gathers per element at
+    ~90ns each, so a [B] gather costs ~180us at B=2048, while a fused
+    masked max-reduce is bandwidth-bound at ~10-30us)."""
+    n = arr.shape[1]
+    oh = jnp.arange(n, dtype=I32)[None, :] == pos[:, None]
+    zero = jnp.zeros((), arr.dtype)
+    return jnp.max(jnp.where(oh, arr, zero), axis=1)
+
+
 def _hset(hp, pos, val, mask):
     H = hp.shape[1]
     oh = (_hcols(H)[None, :] == pos[:, None]) & mask[:, None]
@@ -307,10 +318,10 @@ def ec1dir_batch(
         st_ecp=jnp.zeros((B, S), U64),
         st_x0=jnp.zeros((B, S), U64), st_x1=jnp.zeros((B, S), U64),
         st_n=jnp.zeros((B,), I32),
-        root_x0=bw_lo[r, prev] & maskk1,
-        root_x1=bw_hi[r, prev] & maskk1,
-        root_x2=kops.reverse_k(bw_clo[r, prev], k) & ~U64(1),
-        root_x3=kops.reverse_k(bw_chi[r, prev], k) & ~U64(1),
+        root_x0=_rowget(bw_lo, prev) & maskk1,
+        root_x1=_rowget(bw_hi, prev) & maskk1,
+        root_x2=kops.reverse_k(_rowget(bw_clo, prev), k) & ~U64(1),
+        root_x3=kops.reverse_k(_rowget(bw_chi, prev), k) & ~U64(1),
         min_path_pen=jnp.full((B,), BIG, I32),
         min_path_k=jnp.full((B,), -2, I32),
         n_paths=jnp.zeros((B,), I32),
@@ -441,12 +452,12 @@ def ec1dir_batch(
         # ---- fetch the popped state's payload (stack pool or root)
         is_root = z_k < 0
         zkc = jnp.maximum(z_k, 0)
-        z_x0 = jnp.where(is_root, st.root_x0, st.st_x0[r, zkc])
-        z_x1 = jnp.where(is_root, st.root_x1, st.st_x1[r, zkc])
+        z_x0 = jnp.where(is_root, st.root_x0, _rowget(st.st_x0, zkc))
+        z_x1 = jnp.where(is_root, st.root_x1, _rowget(st.st_x1, zkc))
         # stack states always hold full k-base windows: RC = rev_k ^ mask
         z_x2 = jnp.where(is_root, st.root_x2, kops.reverse_k(z_x0, k) ^ kmask)
         z_x3 = jnp.where(is_root, st.root_x3, kops.reverse_k(z_x1, k) ^ kmask)
-        z_ecp = jnp.where(is_root, U64(0), st.st_ecp[r, zkc])
+        z_ecp = jnp.where(is_root, U64(0), _rowget(st.st_ecp, zkc))
         # give up when past the best path by max_path_diff (correct.c:288)
         brk = act & (st.min_path_k >= -1) & (
             z_pen > st.min_path_pen + cfg.max_path_diff
@@ -474,12 +485,12 @@ def ec1dir_batch(
         c_hcov = jnp.where(
             c_none, 0, jnp.sum(jnp.where(ohz, hcov, 0), axis=1, dtype=I32)
         )
-        occ = []
-        for b in range(4):
-            nx = kops.append_base(z_x0, z_x1, z_x2, z_x3,
-                                  jnp.full((B,), b, I32), k)
-            occ.append(_occ_of(table, cfg, *nx))
-        occ = jnp.stack(occ, axis=1)  # i32 [B,4]
+        # one fused table probe for all 4 candidate bases ([B,4] queries in
+        # a single gather round instead of 4 separate lookup while-loops)
+        bb = jnp.broadcast_to(jnp.arange(4, dtype=I32)[None, :], (B, 4))
+        nx = kops.append_base(z_x0[:, None], z_x1[:, None],
+                              z_x2[:, None], z_x3[:, None], bb, k)
+        occ = _occ_of(table, cfg, *nx)  # i32 [B,4]
         cb_ok = ~c_none & (c_b < 4)
         oh4 = jnp.arange(4, dtype=I32)[None, :] == jnp.minimum(c_b, 3)[:, None]
         os = jnp.where(
@@ -587,12 +598,33 @@ def ec1dir_batch(
         nx1_4 = jnp.stack(
             [((z_x1 << U64(1)) | U64(b >> 1)) & kmask for b in range(4)], axis=1
         )
-        dst4 = jnp.where(push, jnp.minimum(slot4, S - 1), S + 1)
+        # pushed slots are consecutive (slot4 = st_n + rank), so the pool
+        # write is a fused dense select on columns [st_n, st_n + n_push):
+        # column st_n + t takes the value of the rank-t pushed base.  One
+        # elementwise pass per array instead of a serialized row scatter.
+        def _by_rank(vals4):
+            zero = jnp.zeros((), vals4.dtype)
+            return [
+                jnp.max(jnp.where(push & (rank == t), vals4, zero), axis=1)
+                for t in range(4)
+            ]
+
+        scols = jnp.arange(S, dtype=I32)[None, :]
+        rel = scols - st.st_n[:, None]
+
+        def _pool_write(arr, vals4):
+            vbr = _by_rank(vals4)
+            out = arr
+            for t in range(4):
+                m = (rel == t) & (n_push > t)[:, None]
+                out = jnp.where(m, vbr[t][:, None], out)
+            return out
+
         st = st._replace(
-            st_meta=st.st_meta.at[r[:, None], dst4].set(meta4, mode="drop"),
-            st_ecp=st.st_ecp.at[r[:, None], dst4].set(ecp4, mode="drop"),
-            st_x0=st.st_x0.at[r[:, None], dst4].set(nx0_4, mode="drop"),
-            st_x1=st.st_x1.at[r[:, None], dst4].set(nx1_4, mode="drop"),
+            st_meta=_pool_write(st.st_meta, meta4),
+            st_ecp=_pool_write(st.st_ecp, ecp4),
+            st_x0=_pool_write(st.st_x0, nx0_4),
+            st_x1=_pool_write(st.st_x1, nx1_4),
             st_n=st.st_n + n_push,
         )
         # heap inserts, sequential in b order (each with its own sift-up)
@@ -643,12 +675,12 @@ def ec1dir_batch(
         cur, ec_b, n_absent = c
         m = cur >= 0
         curc = jnp.maximum(cur, 0)
-        meta = st.st_meta[r, curc]
+        meta = jnp.where(m, _rowget(st.st_meta, curc), 0)
         ni = meta >> 16
         nb = (meta >> 4) & 3
         write = m & (ni < lens)
         wi = jnp.where(write, ni, L + 1)
-        ec_b = ec_b.at[r, wi].set(nb, mode="drop")
+        ec_b = jnp.where(idx[None, :] == wi[:, None], nb[:, None], ec_b)
         n_absent = n_absent + jnp.where(write, (meta >> 2) & 1, 0)
         cur = jnp.where(m, ((meta >> 6) & 1023) - 1, cur)
         return cur, ec_b, n_absent
