@@ -116,13 +116,37 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
         table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start, searchable
     )
     # ---- reverse-complement direction over [n-end, n)
+    # Per-row reversal out[b,j] = in[b, lens[b]-1-j].  XLA serializes
+    # the [B,L]-indexed gather per element (~90ns each => ~25ms/batch
+    # for the 5 reversals at B=2048); for short rows a one-hot bf16
+    # permutation matmul on the MXU is exact (integer values <= 255)
+    # and bandwidth-bound.  Long rows keep the gather (P would be
+    # O(B*L^2)).
     ridx = jnp.maximum(lens[:, None] - 1 - idx[None, :], 0)
-    seq_r = jnp.where(inb, jnp.where(seq_fix[r[:, None], ridx] < 4,
-                                     3 - seq_fix[r[:, None], ridx],
-                                     seq_fix[r[:, None], ridx]), 4).astype(seq_b.dtype)
-    q_r = jnp.where(inb, seq_q[r[:, None], ridx], False)
-    lcov_r = jnp.where(inb, lcov[r[:, None], ridx], 0)
-    hcov_r = jnp.where(inb, hcov[r[:, None], ridx], 0)
+    use_mxu = L <= 160
+
+    if use_mxu:
+        p_ar = jnp.arange(L, dtype=jnp.int32)
+        P = (
+            p_ar[None, :, None] == (lens[:, None, None] - 1 - p_ar[None, None, :])
+        ).astype(jnp.bfloat16)
+
+        def rev_rows(vals):
+            V = jnp.stack([v.astype(jnp.bfloat16) for v in vals], axis=-1)
+            out = jnp.einsum("bpf,bpj->bjf", V, P,
+                             preferred_element_type=jnp.float32)
+            return [out[..., i].astype(jnp.int32) for i in range(len(vals))]
+
+        srr, qrr, lrr, hrr = rev_rows([seq_fix, seq_q, lcov, hcov])
+    else:
+        srr = seq_fix[r[:, None], ridx].astype(jnp.int32)
+        qrr = seq_q[r[:, None], ridx].astype(jnp.int32)
+        lrr = lcov[r[:, None], ridx]
+        hrr = hcov[r[:, None], ridx]
+    seq_r = jnp.where(inb, jnp.where(srr < 4, 3 - srr, srr), 4).astype(seq_b.dtype)
+    q_r = inb & (qrr > 0)
+    lcov_r = jnp.where(inb, lrr, 0)
+    hcov_r = jnp.where(inb, hrr, 0)
     start_r = lens - end
     ok0 = searchable & (rv0 >= 0) & ~ov0
     ec1r, na1, rv1, mh1, ov1 = srch.ec1dir_batch(
@@ -130,7 +154,10 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     )
     ok1 = ok0 & (rv1 >= 0) & ~ov1
     # flip direction-2 output back (complement bases < 4)
-    ec1b = ec1r[r[:, None], ridx]
+    if use_mxu:
+        (ec1b,) = rev_rows([ec1r])
+    else:
+        ec1b = ec1r[r[:, None], ridx].astype(jnp.int32)
     ec1b = jnp.where(inb, jnp.where(ec1b < 4, 3 - ec1b, ec1b), 4).astype(jnp.uint8)
 
     # ---- merge the two directions (correct.c:443-450)

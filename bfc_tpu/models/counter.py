@@ -52,6 +52,10 @@ class DeviceSpectrum:
     def lookup_hash(self, h0, h1):
         """Batched payload lookup from canonical-hash pairs (u64 arrays)."""
         q_shard, q_kb = kops.shard_and_keybody(h0, h1, self.k, self.l_pre)
+        if isinstance(self.table, spec.CuckooTable):
+            return spec.cuckoo_lookup(
+                self.table, q_shard, q_kb, self.s_bits, self.l_pre, self.kb_bits
+            )
         if self.packed:
             return spec.packed_lookup(
                 self.table, q_shard, q_kb, self.s_bits, self.l_pre, self.kb_bits
@@ -100,9 +104,25 @@ def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
     s_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2 + 1))))
     margin = 4096
     kb_bits = kops.keybody_bits(k, l_pre)
-    # prefer the packed single-u64-entry layout (half the lookup gather
-    # traffic); fall back to the two-array layout when the identity does
-    # not fit (big k with a small table)
+    # prefer the two-choice cuckoo layout: every lookup is exactly two
+    # single-element gathers with no continuation round (the lookup
+    # gather is the dominant per-iteration cost of the search)
+    c_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2.5 + 1))))
+    if spec.cuckoo_ok(c_bits, l_pre, kb_bits):
+        entries, ok = sph.build_cuckoo_table_host(
+            shard.astype(np.uint32), keybody.astype(np.uint64),
+            payload.astype(np.uint32), c_bits, l_pre, kb_bits,
+        )
+        if ok:
+            table = spec.CuckooTable(entries=jnp.asarray(entries))
+            hist = np.bincount(np.minimum(payload & 0xFF, 255), minlength=256)[:256]
+            hist[0] = 0
+            hist_high = np.bincount((payload >> 8) & 0x3F, minlength=64)[:64]
+            return DeviceSpectrum(table, k, l_pre, c_bits, n, hist, hist_high,
+                                  _mode_from_hist(hist),
+                                  compact=(shard, keybody, payload), packed=False)
+    # fall back: packed single-u64-entry displacement layout; then the
+    # two-array layout when the identity does not fit (big k, small table)
     packed = spec.packed_ok(s_bits, l_pre, kb_bits)
     if packed:
         entries, max_slot = sph.build_packed_table_host(

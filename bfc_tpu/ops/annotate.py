@@ -22,6 +22,8 @@ U64 = jnp.uint64
 
 def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1):
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
+    if isinstance(table, spec.CuckooTable):
+        return spec.cuckoo_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
     if isinstance(table, spec.PackedTable):
         return spec.packed_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
     return spec.table_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)

@@ -253,6 +253,9 @@ def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
 def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3):
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
+    if isinstance(table, spec.CuckooTable):
+        return spec.cuckoo_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
+                                  cfg.kb_bits)
     if cfg.packed:
         return spec.packed_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
                                   cfg.kb_bits)
@@ -338,17 +341,21 @@ def ec1dir_batch(
     # ---- fast-forward precomputation ------------------------------------
     # Most pops are forced keep-steps at "fixed" positions with a
     # single-entry heap; those iterations are exactly equivalent to
-    # replacing the heap root and appending one stack node, and their
+    # replacing the heap root and appending stack nodes, and their
     # decision inputs depend only on the position when the state's
     # k-window is uncorrected ("clean").  Precompute, per position j:
     # would a clean state at j be fixed, what penalty does its keep step
     # cost, and how long is the forced run starting at j.
     #
-    # NOTE: exact but currently a net loss under XLA (the [B,STEP]
-    # scatters outweigh the saved iterations); default-off via
-    # cfg.ff_step=0, kept for the Pallas search kernel where the same
-    # precomputation drives near-free in-kernel run skipping.
+    # A whole forced run becomes ONE "run" stack node (run_len packed in
+    # meta bits 25-30): keep-steps write the read base back (a no-op on
+    # ec_b) and their only backtrack effect is the absent count, which
+    # is a prefix-sum difference - so the per-step chain nodes of the
+    # reference are pure bookkeeping and a single node with a length
+    # field reproduces the search byte-exactly while skipping
+    # run_len iterations of the lockstep loop.
     FF_STEP = cfg.ff_step
+    assert FF_STEP <= 63, "run length must fit the 6-bit meta field"
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
     occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)

@@ -283,12 +283,60 @@ class PackedTable(NamedTuple):
     entries: jax.Array  # u64 [S+margin]
 
 
+class CuckooTable(NamedTuple):
+    """Two-choice (partial-key cuckoo) spectrum table.
+
+    The lookup hot path is a random HBM gather whose cost is per
+    element, so the layout is chosen to make every lookup EXACTLY two
+    single-element probes with no continuation loop (the displacement
+    layouts need a data-dependent while round whose cost is a full
+    extra gather over all queries).  Entry: identity_low << 15 |
+    nest(1) << 14 | payload(14); payload == 0 marks an empty slot.
+    Slot s1 = top c_bits of the position key (nest 0); slot
+    s2 = s1 ^ mult_hash(identity_low) (nest 1).  The (slot, nest,
+    identity_low) triple reconstructs the full identity, so matches are
+    exact - same guarantee as the khash key compare (htab.c:84-92)."""
+
+    entries: jax.Array  # u64 [1 << c_bits]
+
+
+_CUCKOO_GOLD = U64(0x9E3779B97F4A7C15)
+
+
 def identity_bits(l_pre: int, kb_bits: int) -> int:
     return l_pre + kb_bits
 
 
 def packed_ok(s_bits: int, l_pre: int, kb_bits: int) -> bool:
     return identity_bits(l_pre, kb_bits) - s_bits <= 44
+
+
+def cuckoo_ok(c_bits: int, l_pre: int, kb_bits: int) -> bool:
+    return identity_bits(l_pre, kb_bits) - c_bits <= 49
+
+
+@functools.partial(jax.jit, static_argnames=("c_bits", "l_pre", "kb_bits"))
+def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
+                  l_pre: int, kb_bits: int):
+    """Batched payload lookup: two single-element gathers, no loop."""
+    pk = posk64(q_shard, q_keybody, l_pre, kb_bits)
+    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int32)
+    qlow = _id_low(q_shard, q_keybody, l_pre, kb_bits, c_bits)
+    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int32)
+    s2 = s1 ^ alt
+    e1 = table.entries[s1]
+    e2 = table.entries[s2]
+
+    def match(e, nest):
+        return (
+            ((e & U64(0x3FFF)) != 0)
+            & (((e >> U64(14)) & U64(1)) == U64(nest))
+            & ((e >> U64(15)) == qlow)
+        )
+
+    v1 = (e1 & U64(0x3FFF)).astype(jnp.int32)
+    v2 = (e2 & U64(0x3FFF)).astype(jnp.int32)
+    return jnp.where(match(e1, 0), v1, jnp.where(match(e2, 1), v2, -1))
 
 
 def _id_low(shard, keybody, l_pre: int, kb_bits: int, s_bits: int):

@@ -121,6 +121,58 @@ def build_packed_table_host(shard, keybody, payload, s_bits: int, margin: int,
     return entries, int(slot.max())
 
 
+def _id_low_np(shard, keybody, l_pre: int, kb_bits: int, c_bits: int):
+    nbits = l_pre + kb_bits - c_bits
+    if nbits <= 0:
+        return np.zeros(len(keybody), np.uint64)
+    if nbits <= kb_bits:
+        return keybody & np.uint64((1 << nbits) - 1)
+    extra = nbits - kb_bits
+    return ((shard.astype(np.uint64) & np.uint64((1 << extra) - 1))
+            << np.uint64(kb_bits)) | keybody
+
+
+def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
+                            l_pre: int, kb_bits: int, max_rounds: int = 256):
+    """Two-choice cuckoo placement (see spectrum.CuckooTable).
+
+    Vectorized random-walk insertion: every unplaced key claims its
+    currently-preferred slot (last writer wins); losers and evicted
+    keys flip to their alternate slot and retry.  Converges in a few
+    dozen rounds at load <= 0.4.  Returns (entries u64[1<<c_bits], ok);
+    ok False => caller falls back to the displacement layout."""
+    n = len(shard)
+    S = 1 << c_bits
+    entries = np.zeros((S,), np.uint64)
+    if n == 0:
+        return entries, True
+    pk = posk64_np(shard, keybody, l_pre, kb_bits)
+    s1 = (pk >> np.uint64(64 - c_bits)).astype(np.int64)
+    qlow = _id_low_np(shard, keybody, l_pre, kb_bits, c_bits)
+    alt = ((qlow * np.uint64(0x9E3779B97F4A7C15))
+           >> np.uint64(64 - c_bits)).astype(np.int64)
+    s2 = s1 ^ alt
+    ids = np.arange(n, dtype=np.int64)
+    pref = np.zeros(n, np.uint8)
+    cur = s1.copy()
+    occupant = np.full(S, -1, np.int64)
+    for _ in range(max_rounds):
+        pend = ids[occupant[cur] != ids]
+        if pend.size == 0:
+            break
+        occupant[cur[pend]] = pend
+        pend2 = ids[occupant[cur] != ids]
+        pref[pend2] ^= 1
+        cur[pend2] = np.where(pref[pend2] == 0, s1[pend2], s2[pend2])
+    else:
+        if (occupant[cur] != ids).any():
+            return entries, False
+    entries[cur] = ((qlow << np.uint64(15))
+                    | (pref.astype(np.uint64) << np.uint64(14))
+                    | payload.astype(np.uint64))
+    return entries, True
+
+
 def finalize_host(agg, bf_shift: int, n_hashes: int):
     """Numpy twin of spectrum.finalize_counts: payloads + hist.
 
