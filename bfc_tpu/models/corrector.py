@@ -39,6 +39,9 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
     """Search capacities sized from measured distributions (p99 stack
     ~185, p99 iterations ~205 for 100bp reads at 2% error); overflowing
     reads fall back to the exact scalar model."""
+    import os
+
+    ff_step = int(os.environ.get("BFC_TPU_FF_STEP", "63"))
     return srch.SearchConfig(
         k=opt.k, min_cov=opt.min_cov, win_multi_ec=opt.win_multi_ec,
         max_end_ext=opt.max_end_ext, w_ec=opt.w_ec, w_ec_high=opt.w_ec_high,
@@ -46,7 +49,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
         max_path_diff=opt.max_path_diff, max_heap=opt.max_heap,
         heap_cap=128, stack_cap=stack_cap, iter_cap=iter_cap,
         s_bits=ds.s_bits, l_pre=ds.l_pre, kb_bits=ds.kb_bits,
-        packed=ds.packed, ff_step=0,
+        packed=ds.packed, ff_step=ff_step,
     )
 
 

@@ -369,8 +369,8 @@ def ec1dir_batch(
     p_abs_pre = (occ_pre < 0) | ((occ_pre & 0xFF) < cfg.min_cov)
     p_absh_pre = (occ_pre < 0) | (((occ_pre >> 8) & 0xFF) < cfg.min_cov)
     pen_step = cfg.w_absent * p_abs_pre.astype(I32) + cfg.w_absent_high * p_absh_pre.astype(I32)
-    flags_pre = (p_abs_pre.astype(I32) << 2) | (p_absh_pre.astype(I32) << 3)
     pencum = jnp.cumsum(pen_step, axis=-1).astype(I32)  # inclusive prefix
+    abscum = jnp.cumsum(p_abs_pre.astype(I32), axis=-1)  # inclusive prefix
     # forced-run length starting at j, via a reversed run-length scan
     rev_bad = jnp.where(~ffable[:, ::-1], jnp.arange(L, dtype=I32)[None, :], -1)
     last_bad_rev = jax.lax.associative_scan(jnp.maximum, rev_bad, axis=-1)
@@ -386,17 +386,19 @@ def ec1dir_batch(
         f_zk = _he_k(root)
         f_pen = _he_pen(root)
         f_zkc = jnp.maximum(f_zk, 0)
-        f_ecp = jnp.where(f_zk < 0, U64(0), st.st_ecp[r, f_zkc])
+        f_ecp = jnp.where(f_zk < 0, U64(0), _rowget(st.st_ecp, f_zkc))
         newest = (f_ecp & U64(511)).astype(I32)  # pos+1, 0 = none
         # clean = the state's window equals the precomputed one: no
         # correction in the last k positions AND no N crossed (crossing
         # an N substitutes a base without an ecpos record - the
         # reference's pen.ec is 0 when the read base is N)
+        prev_i = jnp.maximum(f_zi - 1, 0)
         clean = ((newest == 0) | (f_zi - (newest - 1) > k)) & (
-            (f_zi >= 1) & wvalid[r, jnp.maximum(f_zi - 1, 0)]
+            (f_zi >= 1) & (_rowget(wvalid, prev_i))
         )
         f_zic = jnp.minimum(f_zi, L - 1)
-        steps = jnp.minimum(jnp.minimum(ff_run[r, f_zic], FF_STEP), S - st.st_n)
+        steps = jnp.minimum(jnp.minimum(_rowget(ff_run, f_zic), FF_STEP),
+                            S - st.st_n)
         elig = (
             ~st.done
             & (st.heap_n == 1)
@@ -405,36 +407,28 @@ def ec1dir_batch(
             & (steps > 0)
             & (f_zi < lens)
         )
-        base_cum = jnp.where(f_zi > 0, pencum[r, jnp.maximum(f_zi - 1, 0)], 0)
+        base_cum = jnp.where(f_zi > 0, _rowget(pencum, prev_i), 0)
         last_pos = jnp.minimum(f_zi + steps - 1, L - 1)
-        pen_end = f_pen + pencum[r, last_pos] - base_cum
+        pen_end = f_pen + _rowget(pencum, last_pos) - base_cum
         elig = elig & (pen_end < PEN_CAP)
         stepsm = jnp.where(elig, steps, 0)
-        # write the forced-keep chain nodes in one batched scatter
-        toff = jnp.arange(FF_STEP, dtype=I32)
-        posT = jnp.minimum(f_zi[:, None] + toff[None, :], L - 1)     # [B,T]
-        inT = toff[None, :] < stepsm[:, None]
-        slotT = st.st_n[:, None] + toff[None, :]
-        parentT = jnp.where(
-            toff[None, :] == 0, f_zk[:, None], slotT - 1
+        # the whole forced-keep run becomes ONE run node: run_len in
+        # meta bits 25-30, end position in bits 16-24; keep-steps never
+        # change ec_b and their absent count is a prefix-sum difference,
+        # so backtrack reproduces the per-step chain exactly
+        slot = st.st_n
+        meta_run = (
+            (stepsm << 25)
+            | (last_pos << 16)
+            | ((f_zk + 1) << 6)
         )
-        bT = seq_b[r[:, None], posT].astype(I32)
-        metaT = (
-            ((f_zi[:, None] + toff[None, :]) << 16)
-            | ((parentT + 1) << 6)
-            | (bT << 4)
-            | flags_pre[r[:, None], posT]
-        )
-        totT = f_pen[:, None] + pencum[r[:, None], posT] - base_cum[:, None]
-        dstT = jnp.where(inT, jnp.minimum(slotT, S - 1), S + 1)
+        oh_slot = (jnp.arange(S, dtype=I32)[None, :] == slot[:, None]) & elig[:, None]
         st = st._replace(
-            st_meta=st.st_meta.at[r[:, None], dstT].set(metaT, mode="drop"),
-            st_ecp=st.st_ecp.at[r[:, None], dstT].set(
-                jnp.broadcast_to(f_ecp[:, None], (B, FF_STEP)), mode="drop"
-            ),
-            st_x0=st.st_x0.at[r[:, None], dstT].set(x0w[r[:, None], posT], mode="drop"),
-            st_x1=st.st_x1.at[r[:, None], dstT].set(x1w[r[:, None], posT], mode="drop"),
-            st_n=st.st_n + stepsm,
+            st_meta=jnp.where(oh_slot, meta_run[:, None], st.st_meta),
+            st_ecp=jnp.where(oh_slot, f_ecp[:, None], st.st_ecp),
+            st_x0=jnp.where(oh_slot, _rowget(x0w, last_pos)[:, None], st.st_x0),
+            st_x1=jnp.where(oh_slot, _rowget(x1w, last_pos)[:, None], st.st_x1),
+            st_n=st.st_n + elig.astype(I32),
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
         return st._replace(
@@ -683,11 +677,18 @@ def ec1dir_batch(
         m = cur >= 0
         curc = jnp.maximum(cur, 0)
         meta = jnp.where(m, _rowget(st.st_meta, curc), 0)
-        ni = meta >> 16
+        ni = (meta >> 16) & 511
+        run = (meta >> 25) & 63  # run node: run positions ni-run+1..ni
         nb = (meta >> 4) & 3
-        write = m & (ni < lens)
+        write = m & (ni < lens) & (run == 0)
         wi = jnp.where(write, ni, L + 1)
         ec_b = jnp.where(idx[None, :] == wi[:, None], nb[:, None], ec_b)
+        if cfg.ff_step > 0:
+            nic = jnp.minimum(ni, L - 1)
+            run_abs = _rowget(abscum, nic) - _rowget(
+                abscum, jnp.maximum(nic - run, 0)
+            )
+            n_absent = n_absent + jnp.where(m & (run > 0), run_abs, 0)
         n_absent = n_absent + jnp.where(write, (meta >> 2) & 1, 0)
         cur = jnp.where(m, ((meta >> 6) & 1023) - 1, cur)
         return cur, ec_b, n_absent
