@@ -71,7 +71,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     n_n = jnp.sum((ob > 3) & inb, axis=1)
     many_n = n_n.astype(jnp.float64) > lens.astype(jnp.float64) * 0.05
 
-    solid_end, high_end, lcov, hcov, _ = ann.kcov_batch(
+    solid_end, high_end, lcov, hcov, occv = ann.kcov_batch(
         table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov
     )
     isl_start, isl_end, isl_found = ann.best_island_batch(solid_end, lens, k)
@@ -114,9 +114,26 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     end = jnp.where(greedy_ok, g_end + 1, isl_end)
 
     searchable = ~many_n & ~no_solid
+    # ---- fast-forward window bits, derived once from the kcov occ pass
+    # (canonical hashing is strand-independent, so the reverse
+    # direction's bits are a reversal + static k-1 shift of the forward
+    # ones); windows overlapping the greedy fix are marked stale so
+    # fast-forward defers to the exact in-loop lookup there
+    use_ffbits = cfg.ff_step > 0 and L <= 160
+    win_f = win_r = None
+    if use_ffbits:
+        w_cnthi = (occv & 0xFF) >= cfg.min_cov + 1  # occ -1 reads 255 (quirk)
+        w_abs = (occv < 0) | ((occv & 0xFF) < cfg.min_cov)
+        w_absh = (occv < 0) | (((occv >> 8) & 0xFF) < cfg.min_cov)
+        ff_ok = ~(
+            (idx[None, :] >= fix_pos[:, None])
+            & (idx[None, :] < fix_pos[:, None] + k)
+        )
+        win_f = (w_cnthi, w_abs, w_absh, ff_ok)
     # ---- forward direction over [start, n)
     ec0, na0, rv0, mh0, ov0 = srch.ec1dir_batch(
-        table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start, searchable
+        table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start, searchable,
+        win_bits=win_f,
     )
     # ---- reverse-complement direction over [n-end, n)
     # Per-row reversal out[b,j] = in[b, lens[b]-1-j].  XLA serializes
@@ -151,9 +168,19 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     lcov_r = jnp.where(inb, lrr, 0)
     hcov_r = jnp.where(inb, hrr, 0)
     start_r = lens - end
+    if use_ffbits and use_mxu:
+        # reverse coords: window ending at j <=> forward window ending
+        # at lens+k-2-j; shifted-in (j < k-1) windows are invalid, whose
+        # occ==-1 semantics are all-True bits (the 255 quirk)
+        rbits = rev_rows([w_cnthi, w_abs, w_absh, ff_ok])
+        ones = jnp.ones((B, k - 1), jnp.int32)
+        win_r = tuple(
+            jnp.concatenate([ones, a], axis=1)[:, :L] > 0 for a in rbits
+        )
     ok0 = searchable & (rv0 >= 0) & ~ov0
     ec1r, na1, rv1, mh1, ov1 = srch.ec1dir_batch(
-        table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r, ok0
+        table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r, ok0,
+        win_bits=win_r,
     )
     ok1 = ok0 & (rv1 >= 0) & ~ov1
     # flip direction-2 output back (complement bases < 4)

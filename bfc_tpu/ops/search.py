@@ -275,9 +275,18 @@ def ec1dir_batch(
     lens,       # i32 [B]
     start,      # i32 [B]
     active_in,  # bool [B] which reads participate
+    win_bits=None,  # optional (w_cnthi, w_abs, w_absh, ff_ok) bool [B,L]
     debug: bool = False,
 ):
     """One direction of the batched best-first search.
+
+    win_bits, when given, carries the fast-forward window predicates
+    derived by the caller from the kcov occ pass (canonical hashing is
+    strand-independent, so the reverse direction's bits are a reversal
+    of the forward ones) - avoiding a full per-direction table lookup.
+    ff_ok=False marks windows whose precomputed occ is stale (e.g.
+    overlapping a greedy fix): fast-forward is disabled there and the
+    lockstep loop computes them exactly.
 
     Returns (ec_b u8 [B,L], n_absent i32 [B], status i32 [B], max_heap
     i32 [B], overflow bool [B]); status: 0 ok, -1/-2/-3 reference
@@ -358,16 +367,21 @@ def ec1dir_batch(
     assert FF_STEP <= 63, "run length must fit the 6-bit meta field"
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
-    occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)
+    if win_bits is None:
+        occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)
+        # -1 & 0xFF reads as 255 (the correct.c:300 quirk)
+        w_cnthi = (occ_pre & 0xFF) >= cfg.min_cov + 1
+        p_abs_pre = (occ_pre < 0) | ((occ_pre & 0xFF) < cfg.min_cov)
+        p_absh_pre = (occ_pre < 0) | (((occ_pre >> 8) & 0xFF) < cfg.min_cov)
+        ff_ok = jnp.ones((B, L), bool)
+    else:
+        w_cnthi, p_abs_pre, p_absh_pre, ff_ok = win_bits
     q_pos = seq_q & (seq_b <= 3)
-    os_cnt_pre = occ_pre & 0xFF          # -1 reads as 255 (the correct.c:300 quirk)
     fixed_pre = (seq_b < 4) & (
-        (q_pos & (os_cnt_pre >= cfg.min_cov + 1) & (lcov >= cfg.min_cov + 1))
+        (q_pos & w_cnthi & (lcov >= cfg.min_cov + 1))
         | (hcov > k * 3 // 4)
     )
-    ffable = fixed_pre & (idx[None, :] < lens[:, None])
-    p_abs_pre = (occ_pre < 0) | ((occ_pre & 0xFF) < cfg.min_cov)
-    p_absh_pre = (occ_pre < 0) | (((occ_pre >> 8) & 0xFF) < cfg.min_cov)
+    ffable = fixed_pre & ff_ok & (idx[None, :] < lens[:, None])
     pen_step = cfg.w_absent * p_abs_pre.astype(I32) + cfg.w_absent_high * p_absh_pre.astype(I32)
     pencum = jnp.cumsum(pen_step, axis=-1).astype(I32)  # inclusive prefix
     abscum = jnp.cumsum(p_abs_pre.astype(I32), axis=-1)  # inclusive prefix
