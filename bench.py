@@ -77,12 +77,13 @@ def main() -> int:
     corr.correct_batch(seqs[:batch], quals[:batch])
     t0 = time.time()
     n_done = 0
-    n_fallback = 0
+    pending = None  # one batch in flight: host assembly overlaps device
     for off in range(0, len(reads), batch):
-        chunk_s = seqs[off : off + batch]
-        chunk_q = quals[off : off + batch]
-        res = corr.correct_batch(chunk_s, chunk_q)
-        n_done += len(res)
+        ctx = corr.dispatch_batch(seqs[off : off + batch], quals[off : off + batch])
+        if pending is not None:
+            n_done += len(corr.finalize_batch(pending))
+        pending = ctx
+    n_done += len(corr.finalize_batch(pending))
     t_corr = time.time() - t0
     rps = n_done / t_corr
     sys.stderr.write(

@@ -250,6 +250,10 @@ class Corrector:
 
     def correct_batch(self, seqs: List[str], quals: List[Optional[str]]):
         """Correct a batch of python strings; returns [(EcStat, seq, qual)]."""
+        return self.finalize_batch(self.dispatch_batch(seqs, quals))
+
+    def dispatch_batch(self, seqs: List[str], quals: List[Optional[str]]):
+        """Encode + launch the device step for a batch of strings."""
         opt = self.opt
         n = len(seqs)
         bases0, _, lens0 = kops.encode_batch(seqs, None, opt.q)
@@ -270,10 +274,20 @@ class Corrector:
         def text_of(i):
             return seqs[i], quals[i]
 
-        return self.correct_arrays(bases0, rawq0, lens0, has_q, text_of)
+        return self.dispatch_arrays(bases0, rawq0, lens0, has_q, text_of)
 
     def correct_arrays(self, bases0, rawq0, lens0, has_q, text_of):
-        """Correct a batch given encoded arrays (the zero-string hot path).
+        return self.finalize_batch(
+            self.dispatch_arrays(bases0, rawq0, lens0, has_q, text_of)
+        )
+
+    def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of):
+        """Launch the device step for an encoded batch WITHOUT blocking.
+
+        The returned context is finished by finalize_batch; keeping one
+        batch in flight overlaps the host-side result assembly of batch
+        i with the device compute of batch i+1 (the kt_pipeline
+        ordered-output overlap of the reference, correct.c:573-618).
 
         bases0: u8 [n, L0] base codes; rawq0: u8 [n, L0] raw quality
         ASCII (0 where absent); text_of(i) -> (seq, qual) provides the
@@ -287,9 +301,9 @@ class Corrector:
         if L > 504:
             # reads longer than the packed position field: exact scalar path
             ch = self._fallback_table()
-            return [
+            return dict(direct=[
                 M.ec1(opt, ch, self.ds.mode, *text_of(i)) for i in range(n)
-            ]
+            ])
         self._pad_L = max(getattr(self, "_pad_L", 0), L)
         L = self._pad_L
         B = 256
@@ -326,8 +340,18 @@ class Corrector:
             self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
             jnp.int32(self.ds.mode),
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        quals_present = has_q
+        return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of)
+
+    def finalize_batch(self, ctx):
+        """Block on the device step and assemble per-read results."""
+        if "direct" in ctx:
+            return ctx["direct"]
+        opt = self.opt
+        n = ctx["n"]
+        lens = ctx["lens"]
+        text_of = ctx["text_of"]
+        out = {k: np.asarray(v) for k, v in ctx["out"].items()}
+        quals_present = ctx["has_q"]
         # whole-batch output re-encoding (correct.c:451-459), then per-read
         # slicing; avoids per-read numpy work on the hot path
         fb = out["final_b"]

@@ -28,21 +28,35 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
 
     corr = Corrector(opt, ds, mesh=mesh)
     n_done = 0
+
+    def emit(ctx, rb):
+        nonlocal n_done
+        res = corr.finalize_batch(ctx)
+        for i, (st, s2, q2) in enumerate(res):
+            r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
+            r.aux, r.aux2 = pack_stats(st)
+            format_corrected(r, opt.no_qual, False, opt.discard, out)
+        n_done += rb.n
+        log(f"processed {n_done} sequences", func="correct_file_device")
+
+    # one batch in flight: batch i's host-side assembly/formatting
+    # overlaps batch i+1's device compute (ordered output preserved)
+    pending = None
     for rb in FR.iter_batches_prefetch(fn, batch_reads):
-        n = rb.n
         if opt.refine_ec:
             _refine_batch(rb, opt, corr, out)
-        else:
-            res = corr.correct_arrays(
-                rb.bases, rb.quals, rb.lens, rb.has_qual(),
-                lambda i: (rb.seq(i), rb.qual(i)),
-            )
-            for i, (st, s2, q2) in enumerate(res):
-                r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
-                r.aux, r.aux2 = pack_stats(st)
-                format_corrected(r, opt.no_qual, False, opt.discard, out)
-        n_done += n
-        log(f"processed {n_done} sequences", func="correct_file_device")
+            n_done += rb.n
+            log(f"processed {n_done} sequences", func="correct_file_device")
+            continue
+        ctx = corr.dispatch_arrays(
+            rb.bases, rb.quals, rb.lens, rb.has_qual(),
+            lambda i, rb=rb: (rb.seq(i), rb.qual(i)),
+        )
+        if pending is not None:
+            emit(*pending)
+        pending = (ctx, rb)
+    if pending is not None:
+        emit(*pending)
 
 
 def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
