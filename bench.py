@@ -76,14 +76,13 @@ def main() -> int:
     quals = [r[1] for r in reads]
     corr.correct_batch(seqs[:batch], quals[:batch])
     t0 = time.time()
-    n_done = 0
-    pending = None  # one batch in flight: host assembly overlaps device
-    for off in range(0, len(reads), batch):
-        ctx = corr.dispatch_batch(seqs[off : off + batch], quals[off : off + batch])
-        if pending is not None:
-            n_done += len(corr.finalize_batch(pending))
-        pending = ctx
-    n_done += len(corr.finalize_batch(pending))
+    lens_all = np.full((n_reads,), rlen, np.int32)
+    has_q = np.ones((n_reads,), bool)
+    res = corr.correct_many(
+        mat, qmat, lens_all, has_q, lambda i: reads[i], batch,
+        bucketed=os.environ.get("BENCH_BUCKETED", "1") == "1",
+    )
+    n_done = len(res)
     t_corr = time.time() - t0
     rps = n_done / t_corr
     sys.stderr.write(

@@ -281,6 +281,43 @@ class Corrector:
             self.dispatch_arrays(bases0, rawq0, lens0, has_q, text_of)
         )
 
+    def correct_many(self, bases0, rawq0, lens0, has_q, text_of,
+                     batch_reads: int, bucketed: bool = True):
+        """Correct a window of reads; returns results in input order.
+
+        With bucketed=True, reads are ordered by a difficulty proxy
+        (count of low-quality bases - errors are low-quality, and the
+        lockstep search runs to the max iteration count in the batch)
+        before being cut into device batches, so easy batches drain in
+        few iterations instead of tracking the window's worst read.
+        One batch is kept in flight (dispatch/finalize overlap)."""
+        n = len(lens0)
+        if n == 0:
+            return []
+        if bucketed and n > batch_reads:
+            L0 = rawq0.shape[1]
+            inb = np.arange(L0)[None, :] < lens0[:, None]
+            lowq = ((rawq0.astype(np.int32) - 33) < self.opt.q) & inb
+            proxy = np.where(has_q, lowq.sum(axis=1), lens0)
+            order = np.argsort(proxy, kind="stable")
+        else:
+            order = np.arange(n)
+        results: List = [None] * n
+        pending = None  # (ctx, orig indices)
+        for off in range(0, n, batch_reads):
+            sel = order[off : off + batch_reads]
+            ctx = self.dispatch_arrays(
+                bases0[sel], rawq0[sel], lens0[sel], has_q[sel],
+                lambda j, sel=sel: text_of(int(sel[j])),
+            )
+            if pending is not None:
+                for j, res in enumerate(self.finalize_batch(pending[0])):
+                    results[pending[1][j]] = res
+            pending = (ctx, sel)
+        for j, res in enumerate(self.finalize_batch(pending[0])):
+            results[pending[1][j]] = res
+        return results
+
     def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of):
         """Launch the device step for an encoded batch WITHOUT blocking.
 

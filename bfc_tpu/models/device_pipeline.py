@@ -26,37 +26,58 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
                         mesh=None) -> None:
     from ..io import fast_reader as FR
 
+    import numpy as np
+
     corr = Corrector(opt, ds, mesh=mesh)
     n_done = 0
+    WINDOW = 4  # batches per difficulty-bucketing window
 
-    def emit(ctx, rb):
+    def process_window(rbs):
         nonlocal n_done
-        res = corr.finalize_batch(ctx)
-        for i, (st, s2, q2) in enumerate(res):
-            r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
-            r.aux, r.aux2 = pack_stats(st)
-            format_corrected(r, opt.no_qual, False, opt.discard, out)
-        n_done += rb.n
+        ns = [rb.n for rb in rbs]
+        offs = np.concatenate([[0], np.cumsum(ns)]).astype(int)
+        total = int(offs[-1])
+        Lm = max(rb.bases.shape[1] for rb in rbs)
+        bases = np.full((total, Lm), 4, np.uint8)
+        rawq = np.zeros((total, Lm), np.uint8)
+        lens = np.zeros((total,), np.int32)
+        has_q = np.zeros((total,), bool)
+        for w, rb in enumerate(rbs):
+            Lr = rb.bases.shape[1]
+            bases[offs[w]:offs[w + 1], :Lr] = rb.bases
+            rawq[offs[w]:offs[w + 1], :Lr] = rb.quals
+            lens[offs[w]:offs[w + 1]] = rb.lens
+            has_q[offs[w]:offs[w + 1]] = rb.has_qual()
+
+        def text_of(i):
+            w = int(np.searchsorted(offs, i, side="right")) - 1
+            return rbs[w].seq(i - int(offs[w])), rbs[w].qual(i - int(offs[w]))
+
+        res = corr.correct_many(bases, rawq, lens, has_q, text_of, batch_reads)
+        i0 = 0
+        for rb in rbs:
+            for i in range(rb.n):
+                st, s2, q2 = res[i0 + i]
+                r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
+                r.aux, r.aux2 = pack_stats(st)
+                format_corrected(r, opt.no_qual, False, opt.discard, out)
+            i0 += rb.n
+        n_done += total
         log(f"processed {n_done} sequences", func="correct_file_device")
 
-    # one batch in flight: batch i's host-side assembly/formatting
-    # overlaps batch i+1's device compute (ordered output preserved)
-    pending = None
+    buf = []
     for rb in FR.iter_batches_prefetch(fn, batch_reads):
         if opt.refine_ec:
             _refine_batch(rb, opt, corr, out)
             n_done += rb.n
             log(f"processed {n_done} sequences", func="correct_file_device")
             continue
-        ctx = corr.dispatch_arrays(
-            rb.bases, rb.quals, rb.lens, rb.has_qual(),
-            lambda i, rb=rb: (rb.seq(i), rb.qual(i)),
-        )
-        if pending is not None:
-            emit(*pending)
-        pending = (ctx, rb)
-    if pending is not None:
-        emit(*pending)
+        buf.append(rb)
+        if len(buf) >= WINDOW:
+            process_window(buf)
+            buf = []
+    if buf:
+        process_window(buf)
 
 
 def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
