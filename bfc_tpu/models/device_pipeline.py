@@ -22,7 +22,7 @@ from .trimmer import DeviceBloom, Trimmer, count_file_filter_device
 
 
 def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
-                        out: List[str], batch_reads: int = 2048,
+                        out: List[str], batch_reads: int = 8192,
                         mesh=None) -> None:
     from ..io import fast_reader as FR
 
@@ -128,7 +128,7 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
 
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                in_hash: Optional[str] = None, out_hash: Optional[str] = None,
-               no_ec: bool = False, batch_reads: int = 2048,
+               no_ec: bool = False, batch_reads: int = 8192,
                mesh_devices: int = 0) -> str:
     """Full device pipeline; returns the output text (reference stdout).
 
