@@ -47,11 +47,21 @@ def usage(fp, o: Opts) -> None:
 
 
 def parse_size(s: str) -> int:
-    mult = 1.0
-    if s and s[-1] in "gGmMkK":
-        mult = {"g": 1e9, "m": 1e6, "k": 1e3}[s[-1].lower()]
-        s = s[:-1]
-    return int(float(s) * mult) + 1
+    """strtod-style size parse: leading float, then only the FIRST char of
+    the remainder selects the multiplier (bfc.c:112-121; accepts e.g.
+    `3gb`, `4.5Mbp` exactly like the reference)."""
+    import re
+
+    m = re.match(r"\s*[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s)
+    x = float(m.group(0)) if m else 0.0
+    rest = s[m.end():] if m else s
+    if rest[:1] in ("g", "G"):
+        x *= 1e9
+    elif rest[:1] in ("m", "M"):
+        x *= 1e6
+    elif rest[:1] in ("k", "K"):
+        x *= 1e3
+    return int(x) + 1
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -133,6 +143,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args:
         usage(sys.stderr, opt)
         return 1
+
+    if opt.verbose >= 4 and not use_scalar:
+        # the per-read search trace (correct.c:284-287 etc.) exists only in
+        # the scalar engine; output is byte-identical either way, so -V4
+        # routes through it to reproduce the reference's debugging hook
+        sys.stderr.write("[M::main] -V4 search trace: using the scalar engine\n")
+        use_scalar = True
 
     if use_cpu:
         import jax

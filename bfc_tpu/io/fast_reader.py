@@ -76,6 +76,23 @@ class ReadBatch:
         return self.qual_off[: self.n] >= 0
 
 
+class CommentCarry:
+    """Stale-comment inheritance of the reference parser: kseq resets only
+    comment.l, and bseq tests the buffer pointer (kseq.h:194-197 +
+    bseq.c:66), so a comment-less record reuses the most recent comment
+    text seen in the stream.  One instance per input file."""
+
+    def __init__(self):
+        self.stale: Optional[str] = None
+
+    def get(self, rb: "ReadBatch", i: int) -> Optional[str]:
+        c = rb.comment(i)
+        if c is None:
+            return self.stale
+        self.stale = c
+        return c
+
+
 def _open_raw(fn: Optional[str]):
     """Open a (possibly gzipped) file; (stream, owns_handle)."""
     import sys
@@ -92,8 +109,38 @@ def _open_raw(fn: Optional[str]):
     return raw, True
 
 
+def _split_by_bases(rb: ReadBatch, max_bases: int) -> Iterator[ReadBatch]:
+    """Split a batch so each piece holds <= max_bases sequence bases
+    (the -L chunk-size bound of bseq_read, /root/reference/bseq.c:52-76:
+    the reference stops a chunk once cumulative length >= chunk_size,
+    so a chunk may exceed the bound by at most one read)."""
+    n = rb.n
+    if n == 0 or int(rb.lens.sum()) <= max_bases:
+        yield rb
+        return
+    cum = np.cumsum(rb.lens.astype(np.int64))
+    i0 = 0
+    while i0 < n:
+        # include reads until the running total passes max_bases
+        base = cum[i0 - 1] if i0 else 0
+        i1 = int(np.searchsorted(cum - base, max_bases, side="left")) + 1
+        i1 = min(max(i1, i0 + 1), n)
+        if rb._strings is not None:
+            yield ReadBatch(i1 - i0, rb.bases[i0:i1], rb.quals[i0:i1],
+                            rb.lens[i0:i1], rb.buf, None, None, None, None,
+                            None, None, strings=rb._strings[i0:i1])
+        else:
+            yield ReadBatch(i1 - i0, rb.bases[i0:i1], rb.quals[i0:i1],
+                            rb.lens[i0:i1], rb.buf,
+                            rb.name_off[i0:i1], rb.name_len[i0:i1],
+                            rb.comm_off[i0:i1], rb.comm_len[i0:i1],
+                            rb.seq_off[i0:i1], rb.qual_off[i0:i1])
+        i0 = i1
+
+
 def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
-                          depth: int = 2) -> Iterator[ReadBatch]:
+                          depth: int = 2,
+                          max_bases: Optional[int] = None) -> Iterator[ReadBatch]:
     """iter_batches with a background reader thread (the host-side
     analogue of the reference's kt_pipeline I/O step overlapping
     compute, kthread.c:118-146).  Parsing/encoding of the next batch
@@ -106,7 +153,7 @@ def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
 
     def producer():
         try:
-            for rb in iter_batches(fn, batch_reads):
+            for rb in iter_batches(fn, batch_reads, max_bases=max_bases):
                 q.put(rb)
             q.put(_END)
         except BaseException as e:  # surface errors in the consumer
@@ -124,7 +171,19 @@ def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
     t.join()
 
 
-def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
+def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512,
+                 max_bases: Optional[int] = None) -> Iterator[ReadBatch]:
+    """Batches of <= batch_reads reads and (when max_bases is given, the
+    -L chunk bound) <= max_bases + one read of sequence."""
+    it = _iter_batches_impl(fn, batch_reads, max_len)
+    if max_bases is None:
+        yield from it
+    else:
+        for rb in it:
+            yield from _split_by_bases(rb, max_bases)
+
+
+def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
     lib = get_lib()
     if lib is None:
         yield from _iter_batches_slow(fn, batch_reads)
@@ -206,16 +265,25 @@ def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Ite
 
 
 def _reads_from_text(text: str, fn, fp) -> Iterator[slow_io.Read]:
-    import io as _io
+    """Re-parse the unconsumed tail + the rest of the stream with the
+    tolerant parser, streaming (no temp file, no whole-file slurp)."""
 
-    rest = fp.read()
-    full = text + (rest.decode("ascii", "replace") if rest else "")
-    import tempfile
+    def lines():
+        carry = text
+        while True:
+            block = fp.read(_BLOCK)
+            if not block:
+                break
+            carry += block.decode("ascii", "replace")
+            parts = carry.split("\n")
+            carry = parts.pop()  # last (possibly partial) line
+            for p in parts:
+                yield p + "\n"
+        for p in carry.split("\n"):
+            if p:
+                yield p + "\n"
 
-    with tempfile.NamedTemporaryFile("w", suffix=".fq", delete=False) as tf:
-        tf.write(full)
-        path = tf.name
-    yield from slow_io.read_fastx(path)
+    yield from slow_io.read_fastx(lines())
 
 
 def _iter_batches_slow(fn, batch_reads: int) -> Iterator[ReadBatch]:

@@ -31,7 +31,9 @@ class Read:
     aux2: int = 0
 
 
-def _open_text(fn: Optional[str]):
+def _open_text(fn):
+    if fn is not None and not isinstance(fn, str):
+        return fn  # already an open text stream / line iterable
     if fn is None or fn == "-":
         return io.TextIOWrapper(sys.stdin.buffer, encoding="ascii", newline="")
     raw = open(fn, "rb")
@@ -43,10 +45,18 @@ def _open_text(fn: Optional[str]):
 
 
 def read_fastx(fn: Optional[str], keep_comment: bool = True) -> Iterator[Read]:
-    """Stream records like kseq_read; tolerant of multi-line FASTA/FASTQ."""
+    """Stream records like kseq_read; tolerant of multi-line FASTA/FASTQ.
+
+    Comment-less records INHERIT the previous record's comment: kseq only
+    resets comment.l, leaving the buffer contents, and bseq tests the
+    buffer pointer rather than the length (kseq.h:194-197 + bseq.c:66) -
+    so once any record carried a comment, every later comment-less record
+    in the same stream reuses the stale text.  A header with trailing
+    whitespace but no text overwrites the buffer with "" instead."""
     fp = _open_text(fn)
     name = None
     comment = None
+    stale_comment = None  # the kseq comment-buffer content
     seq_parts: List[str] = []
     line_iter = iter(fp)
     line = next(line_iter, None)
@@ -64,9 +74,9 @@ def read_fastx(fn: Optional[str], keep_comment: bool = True) -> Iterator[Read]:
                     sp = j
                     break
             name = header[:sp]
-            comment = header[sp + 1 :] if sp < len(header) else None
-            if comment is not None and not keep_comment:
-                comment = None
+            if sp < len(header):
+                stale_comment = header[sp + 1 :]  # overwrites the buffer
+            comment = stale_comment if keep_comment else None
             seq_parts = []
             qual_parts: List[str] = []
             in_qual = False

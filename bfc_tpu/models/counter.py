@@ -260,7 +260,7 @@ def count_batches_aggregate(fn: str, opt: Opts, batch_reads: int = 8192):
     builder = AggBuilder(opt)
     n_reads = 0
     pad_L = [0]
-    for rb in FR.iter_batches_prefetch(fn, batch_reads):
+    for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
         n = rb.n
         n_reads += n
         lens0 = rb.lens

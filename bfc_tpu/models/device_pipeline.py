@@ -66,9 +66,13 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
         log(f"processed {n_done} sequences", func="correct_file_device")
 
     buf = []
-    for rb in FR.iter_batches_prefetch(fn, batch_reads):
+    # refine-mode carry-over of the last parsed ec:Z stats across the whole
+    # stream (the reference's calloc-zeroed per-thread ori_st under -t1)
+    refine_carry = [M.EcStat(ec_code=0)]
+    comments = FR.CommentCarry()
+    for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
         if opt.refine_ec:
-            _refine_batch(rb, opt, corr, out)
+            _refine_batch(rb, opt, corr, out, refine_carry, comments)
             n_done += rb.n
             log(f"processed {n_done} sequences", func="correct_file_device")
             continue
@@ -80,28 +84,31 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
         process_window(buf)
 
 
-def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
+def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str],
+                  carry: List[M.EcStat], comments) -> None:
     """Refine-mode batch: per-read ec:Z parsing, skip/revert bookkeeping
     (correct.c:438-442,470,542-545; rf_code 1 = failed, 2 = reverted,
-    3 = refined)."""
+    3 = refined).  carry[0] threads the last parsed stats across reads
+    in stream order - reads with a missing/unparseable tag compare
+    against the stale per-thread ori_st, exactly like the reference's
+    single-thread arena (calloc-zeroed before the first parsed tag)."""
     n = rb.n
     todo_idx = []
-    ori_sts: List[Optional[M.EcStat]] = []
+    ori_sts: List[M.EcStat] = []
     reads: List[Read] = []
     for i in range(n):
-        r = Read(name=rb.name(i), comment=rb.comment(i), seq=rb.seq(i),
+        r = Read(name=rb.name(i), comment=comments.get(rb, i), seq=rb.seq(i),
                  qual=rb.qual(i))
         reads.append(r)
         skip = False
-        ori = None
         if r.comment and r.comment.startswith("ec:Z:"):
-            ori = parse_stats(r.comment[5:])
-            if ori.ec_code == 0 and ori.max_heap < 50:
+            carry[0] = parse_stats(r.comment[5:])
+            if carry[0].ec_code == 0 and carry[0].max_heap < 50:
                 skip = True
         if not skip:
             r.comment = None
             todo_idx.append(i)
-            ori_sts.append(ori)
+            ori_sts.append(carry[0])
     if todo_idx:
         res = corr.correct_batch(
             [reads[i].seq for i in todo_idx],
@@ -113,8 +120,7 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str]) -> None:
             st.rf_code = 1
             ori = ori_sts[j]
             if st.ec_code == 0:
-                if (ori is not None and ori.ec_code == 0
-                        and st.n_absent > ori.n_absent):
+                if ori.ec_code == 0 and st.n_absent > ori.n_absent:
                     st = dataclasses.replace(ori)
                     st.rf_code = 2
                     s2, q2 = r.seq, r.qual

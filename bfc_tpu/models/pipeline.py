@@ -23,7 +23,11 @@ def count_file(fn: str, opt: Opts):
 
 def correct_file(fn: str, opt: Opts, ch: M.CountHash, out: List[str]) -> None:
     _, _, mode = ch.hist()
-    ori_st = M.EcStat()  # per-stream carry-over, as the per-thread arena does
+    # per-stream carry-over of the last parsed ec:Z stats: the reference's
+    # per-thread ori_st is calloc-zeroed (ec_code=0, all counters 0), so
+    # under -t1 reads preceding the first parsed tag compare against the
+    # zero stats (correct.c:640-642 calloc + 438-442 revert test)
+    ori_st = M.EcStat(ec_code=0)
     for r in read_fastx(fn, keep_comment=opt.filter_mode or opt.refine_ec):
         skip = False
         if opt.refine_ec and r.comment and r.comment.startswith("ec:Z:"):

@@ -676,9 +676,9 @@ def ec1dir(
             stats.iters += 1
             stats.max_stack = max(stats.max_stack, len(stack))
             stats.max_heap = max(stats.max_heap, len(heap))
-        if max_heap_seen <= 255:
-            max_heap_seen = max(max_heap_seen, len(heap))
-            max_heap_seen = min(max_heap_seen, 255)
+        # raw running max, like the reference's int counter; the 8-bit
+        # ecstat bitfield wrap (& 0xFF) happens at pack time (correct.c:553)
+        max_heap_seen = max(max_heap_seen, len(heap))
         if not heap:
             rv = -2
             break

@@ -160,10 +160,12 @@ class Trimmer:
         from ..io import fast_reader as FR
 
         pad_L = 0
-        for rb in FR.iter_batches_prefetch(fn, batch_reads):
+        comments = FR.CommentCarry()
+        for rb in FR.iter_batches_prefetch(fn, batch_reads,
+                                           max_bases=self.opt.chunk_size):
             n = rb.n
             reads = [
-                Read(name=rb.name(i), comment=rb.comment(i), seq=rb.seq(i),
+                Read(name=rb.name(i), comment=comments.get(rb, i), seq=rb.seq(i),
                      qual=rb.qual(i))
                 for i in range(n)
             ]

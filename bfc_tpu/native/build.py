@@ -10,21 +10,35 @@ from pathlib import Path
 _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "fastxio.c"
 _SO = _DIR / "libfastxio.so"
+_STAMP = _DIR / ".fastxio.srchash"
 
 _lib = None
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
 def get_lib():
-    """Compile (if stale) and load the native library; None if unavailable."""
+    """Compile (if stale) and load the native library; None if unavailable.
+
+    Staleness is gated on a stored source hash (never on mtimes, which
+    are equal after a fresh checkout) so the binary is always rebuilt
+    for the local platform; the .so itself is not committed."""
     global _lib
     if _lib is not None:
         return _lib
     try:
-        if not _SO.exists() or _SRC.stat().st_mtime > _SO.stat().st_mtime:
+        h = _src_hash()
+        if (not _SO.exists() or not _STAMP.exists()
+                or _STAMP.read_text().strip() != h):
             subprocess.run(
                 ["cc", "-O3", "-fPIC", "-shared", "-o", str(_SO), str(_SRC)],
                 check=True, capture_output=True,
             )
+            _STAMP.write_text(h)
         lib = ctypes.CDLL(str(_SO))
         lib.fastx_parse.restype = ctypes.c_long
         lib.fastx_parse.argtypes = [

@@ -284,7 +284,7 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
     arrival_base = jnp.uint64(0)
     pad_L = 0
     n_reads = 0
-    for rb in FR.iter_batches_prefetch(fn, batch_reads):
+    for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
         n = rb.n
         n_reads += n
         pad_L = max(pad_L, _round_up(int(rb.lens.max()) if n else 1, 32))

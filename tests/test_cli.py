@@ -53,3 +53,15 @@ def test_cli_trim_and_hash2cnt(fq, tmp_path):
     )
     assert p.returncode == 0
     assert sorted(p.stdout.split()) == sorted(ref_txt.split())
+
+
+def test_parse_size_suffix_forms():
+    """strtod + first-suffix-char parsing (bfc.c:112-121)."""
+    from bfc_tpu.cli import parse_size
+
+    assert parse_size("5m") == 5_000_001
+    assert parse_size("3gb") == 3_000_000_001
+    assert parse_size("4.5Mbp") == 4_500_001
+    assert parse_size("1e3") == 1001
+    assert parse_size("250k") == 250_001
+    assert parse_size("7") == 8

@@ -80,3 +80,32 @@ def test_e2e_dump_restore(dataset, tmp_path):
     # we restore the reference dump
     mine2 = DP.run_device(_opts(), fq2, in_hash=str(ref_dump))
     assert mine2.encode() == ref_out
+
+
+@pytest.mark.slow
+def test_e2e_refine_missing_tags(dataset, tmp_path):
+    """-R with dropped/foreign comment tags: the reference compares against
+    its per-thread ori_st, which is calloc-zeroed before the first parsed
+    ec:Z tag and stale (carried over) for tagless reads (correct.c:438-442,
+    640-642)."""
+    fq, _ = dataset
+    first, _ = oracle.run_bfc(["-k21", "-b24", "-t1", fq])
+    lines = first.decode().splitlines()
+    out_lines = []
+    rec = 0
+    for i in range(0, len(lines), 4):
+        hdr = lines[i]
+        if rec % 3 == 0:
+            hdr = hdr.split("\t")[0].split(" ")[0]  # drop the ec:Z comment
+        elif rec % 7 == 0:
+            hdr = hdr.split("\t")[0].split(" ")[0] + "\txx:Z:foo"
+        out_lines.append(hdr)
+        out_lines.extend(lines[i + 1 : i + 4])
+        rec += 1
+    mangled = tmp_path / "mangled.fq"
+    mangled.write_text("\n".join(out_lines) + "\n")
+    ref_out, _ = oracle.run_bfc(["-k21", "-b24", "-t1", "-R", fq, str(mangled)])
+    opt = _opts()
+    opt.refine_ec = True
+    mine = DP.run_device(opt, fq, correct_fn=str(mangled))
+    assert mine.encode() == ref_out

@@ -62,5 +62,24 @@ def test_multiline_fallback(tmp_path):
     with open(path, "w") as f:
         f.write(">long record\nACGTACGT\nGGGGCCCC\nTTTT\n>x\nACGT\n")
     got = collect(path)
+    # "x" inherits the stale comment "record": kseq only resets comment.l
+    # and bseq tests the buffer pointer (kseq.h:194-197 + bseq.c:66)
     assert got == [("long", "record", "ACGTACGTGGGGCCCCTTTT", None),
-                   ("x", None, "ACGT", None)]
+                   ("x", "record", "ACGT", None)]
+
+
+def test_split_by_bases(tmp_path):
+    """-L chunking: each piece stops once cumulative bases reach the bound
+    (bseq.c:52-76 semantics: may exceed by one read)."""
+    from bfc_tpu.io import fast_reader as FR
+
+    path = f"{tmp_path}/r.fq"
+    with open(path, "w") as f:
+        for i in range(10):
+            f.write(f"@r{i}\n{'ACGT' * 25}\n+\n{'I' * 100}\n")
+    batches = list(FR.iter_batches(path, 100, max_bases=250))
+    assert [b.n for b in batches] == [3, 3, 3, 1]
+    names = [b.name(i) for b in batches for i in range(b.n)]
+    assert names == [f"r{i}" for i in range(10)]
+    # no bound: single batch
+    assert [b.n for b in FR.iter_batches(path, 100)] == [10]
