@@ -1,8 +1,14 @@
-"""Benchmark: corrected reads/s per chip on a synthetic E. coli-like dataset.
+"""Benchmark: END-TO-END (count + correct) reads/s per chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline anchor: reference bfc -t16 on NA12878 human reads sustains
-~42k corrected reads/s on a 20-core E5-2660 (BASELINE.md).
+~42k reads/s through BOTH passes on a 20-core E5-2660 (BASELINE.md:
+889.5M reads / 21,060 s total wall time, so end-to-end is the honest
+comparison).  Per-pass rates go to stderr.
+
+Compile time is excluded (a warm-up pass touches every jit shape
+first): the anchor excludes compilation too, and the cost amortizes to
+zero at production scale.
 
 Environment knobs:
   BENCH_GENOME   genome length  [250000]
@@ -23,8 +29,6 @@ BASELINE_READS_PER_S = 42_000.0
 
 
 def main() -> int:
-    import random
-
     from bfc_tpu.models import corrector as DC
     from bfc_tpu.models import counter as C
     from bfc_tpu.opts import Opts
@@ -63,21 +67,32 @@ def main() -> int:
     opt.k = k
     opt.bf_shift = max(20, glen.bit_length() + 7)
 
-    t0 = time.time()
-    ds = C.count_stream(iter(reads), opt, batch_reads=8192)
-    t_count = time.time() - t0
-    sys.stderr.write(
-        f"[bench] counting: {t_count:.1f}s, {ds.n_entries} distinct k-mers\n"
-    )
-
-    corr = DC.Corrector(opt, ds)
-    # warm up / compile on the first batch shape
-    seqs = [r[0] for r in reads]
-    quals = [r[1] for r in reads]
-    corr.correct_batch(seqs[:batch], quals[:batch])
     # whole batches only: a ragged tail would compile a second batch
     # shape inside the timed region on a cold cache
     n_use = max(n_reads // batch * batch, min(n_reads, batch))
+
+    # ---- warm-up: compile every jit shape outside the timed region
+    t0 = time.time()
+    C.count_stream(iter(reads[:batch]), opt, batch_reads=batch)
+    sys.stderr.write(f"[bench] counting warm-up (compile): {time.time() - t0:.1f}s\n")
+
+    # ---- counting pass (timed)
+    t0 = time.time()
+    ds = C.count_stream(iter(reads[:n_use]), opt, batch_reads=batch)
+    t_count = time.time() - t0
+    sys.stderr.write(
+        f"[bench] counting: {n_use} reads in {t_count:.1f}s = "
+        f"{n_use / t_count:.0f} reads/s ({ds.n_entries} distinct k-mers)\n"
+    )
+
+    corr = DC.Corrector(opt, ds)
+    seqs = [r[0] for r in reads]
+    quals = [r[1] for r in reads]
+    t0 = time.time()
+    corr.correct_batch(seqs[:batch], quals[:batch])
+    sys.stderr.write(f"[bench] correction warm-up (compile): {time.time() - t0:.1f}s\n")
+
+    # ---- correction pass (timed)
     t0 = time.time()
     lens_all = np.full((n_use,), rlen, np.int32)
     has_q = np.ones((n_use,), bool)
@@ -87,12 +102,18 @@ def main() -> int:
     )
     n_done = len(res)
     t_corr = time.time() - t0
-    rps = n_done / t_corr
+    assert n_done == n_use
     sys.stderr.write(
-        f"[bench] correction: {n_done} reads in {t_corr:.1f}s = {rps:.0f} reads/s\n"
+        f"[bench] correction: {n_done} reads in {t_corr:.1f}s = "
+        f"{n_done / t_corr:.0f} reads/s\n"
+    )
+    rps = n_use / (t_count + t_corr)
+    sys.stderr.write(
+        f"[bench] end-to-end: {n_use} reads in {t_count + t_corr:.1f}s = "
+        f"{rps:.0f} reads/s\n"
     )
     print(json.dumps({
-        "metric": "corrected_reads_per_s_per_chip",
+        "metric": "end_to_end_reads_per_s_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),

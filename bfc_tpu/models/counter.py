@@ -179,40 +179,74 @@ def restore_spectrum(fn: str) -> DeviceSpectrum:
 class AggBuilder:
     """Incremental per-distinct-k-mer aggregation over padded batches.
 
-    Feeds fixed-shape encoded batches through chunk_aggregate and merges
-    into a running capacity-adaptive aggregate (arrival order must be
-    the stream order across add() calls)."""
+    Each add() runs ONE fixed-shape device pass (sort + segmented combine
+    over the batch's k-mer stream, spec.chunk_aggregate), then folds the
+    PREVIOUS batch's compacted rows into a host-side binary-counter merge
+    tree (spectrum_host.merge_host_aggs): level i holds 2^i merged
+    batches, so total merge work is O(distinct * log batches) instead of
+    the per-batch full re-sort of the whole aggregate, and the only
+    device compile is the one chunk shape.  Deferring the host pull by
+    one batch overlaps host merging with device compute (the reference's
+    kt_pipeline overlap, kthread.c:118-146).  Arrival order across add()
+    calls must be the stream order."""
 
-    def __init__(self, opt: Opts, initial_cap: int = 1 << 20):
+    def __init__(self, opt: Opts):
+        from ..ops import spectrum_host as sph
+
+        self.sph = sph
         self.opt = opt
         self.k = opt.k
         self.l_pre = opt.effective_l_pre()
-        self.agg = None
-        self.agg_cap = initial_cap
         self.arrival_base = 0
+        self.levels: List = []   # binary counter; levels[i] = 2^i batches
+        self._pending = None     # (device chunk Aggregate, device count)
+        self.n_batches = 0
 
     def add(self, bases, qok, lens) -> None:
         B, L = bases.shape
-        chunk, _ = spec.chunk_aggregate(
+        chunk, g = spec.chunk_aggregate(
             jnp.asarray(bases), jnp.asarray(qok), jnp.asarray(lens),
             jnp.uint64(self.arrival_base), self.k, self.l_pre, B * L,
         )
         self.arrival_base += B * L
-        prev = self.agg if self.agg is not None else _empty_agg(1)
-        while True:
-            self.agg, g2 = spec.merge_aggregates(prev, chunk, self.agg_cap)
-            if int(g2) <= self.agg_cap:
-                break
-            # overflow: retry the merge at doubled capacity (inputs intact)
-            self.agg_cap *= 2
-        self.n_batches = getattr(self, "n_batches", 0) + 1
-        log(f"aggregated batch {self.n_batches}: {int(g2)} distinct k-mers",
+        prev = self._pending
+        self._pending = (chunk, g)
+        if prev is not None:
+            self._fold(prev)
+
+    def _fold(self, pending) -> None:
+        sph = self.sph
+        chunk, g = pending
+        gi = int(g)
+        # bucketed slice length: one transfer shape per power of two
+        gpad = 1 << max(10, (max(gi, 1) - 1).bit_length())
+        ha = sph.HostAgg(*[np.asarray(col[:gpad])[:gi] for col in chunk])
+        i = 0
+        while i < len(self.levels) and self.levels[i] is not None:
+            ha = sph.merge_host_aggs(self.levels[i], ha)  # older first
+            self.levels[i] = None
+            i += 1
+        if i == len(self.levels):
+            self.levels.append(None)
+        self.levels[i] = ha
+        self.n_batches += 1
+        log(f"aggregated batch {self.n_batches}: {gi} distinct in chunk",
             func="AggBuilder")
 
-    def finish(self) -> spec.Aggregate:
-        if self.agg is None:
-            self.agg, _ = spec.merge_aggregates(_empty_agg(1), _empty_agg(1), 16)
-        return self.agg
+    def finish(self):
+        if self._pending is not None:
+            self._fold(self._pending)
+            self._pending = None
+        acc = None
+        for lvl in reversed(self.levels):  # oldest (highest level) first
+            if lvl is None:
+                continue
+            acc = lvl if acc is None else self.sph.merge_host_aggs(acc, lvl)
+        self.levels = []
+        if acc is None:
+            return self.sph.empty_host_agg()
+        log(f"{len(acc.shard)} distinct k-mers aggregated", func="AggBuilder")
+        return acc
 
 
 def count_stream_aggregate(
@@ -295,8 +329,10 @@ def count_stream(
     return finalize_spectrum(agg, opt)
 
 
-def finalize_spectrum(agg: spec.Aggregate, opt: Opts, host: bool = None) -> DeviceSpectrum:
-    """Adjudicate + payloads + lookup-table build from an aggregate.
+def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
+    """Adjudicate + payloads + lookup-table build from an aggregate
+    (spectrum_host.HostAgg from AggBuilder, or a padded device
+    spec.Aggregate from the mesh path - the fields are dtype twins).
 
     By default finalization runs on the host (numpy twin in
     ops.spectrum_host): it happens once per job, and its one-time
@@ -341,18 +377,6 @@ def finalize_spectrum(agg: spec.Aggregate, opt: Opts, host: bool = None) -> Devi
     )
     return DeviceSpectrum(table, k, l_pre, s_bits, n, hist, hist_high, mode,
                           compact=compact, packed=False)
-
-
-def _empty_agg(n: int) -> spec.Aggregate:
-    return spec.Aggregate(
-        shard=jnp.full((n,), spec.INVALID_SHARD, jnp.uint32),
-        keybody=jnp.full((n,), (1 << 64) - 1, jnp.uint64),
-        ret=jnp.zeros((n,), jnp.uint64),
-        n=jnp.zeros((n,), jnp.uint32),
-        n_high=jnp.zeros((n,), jnp.uint32),
-        first_arr=jnp.full((n,), (1 << 64) - 1, jnp.uint64),
-        first_high=jnp.zeros((n,), jnp.uint32),
-    )
 
 
 def count_file_device(fn: str, opt: Opts, batch_reads: int = 8192) -> DeviceSpectrum:

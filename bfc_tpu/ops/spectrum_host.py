@@ -8,9 +8,71 @@ one-time cost on TPU.  The streaming aggregation stays on device.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 from ..opts import BFC_BLK_SHIFT
+
+
+class HostAgg(NamedTuple):
+    """Host-resident per-distinct-k-mer aggregate (compact, sorted by
+    (shard, keybody), no padding).  Field-for-field the dtype twin of
+    ops.spectrum.Aggregate, so it feeds either finalize path."""
+
+    shard: np.ndarray       # u32
+    keybody: np.ndarray     # u64
+    ret: np.ndarray         # u64 Bloom-addressing hash
+    n: np.ndarray           # u32 total occurrences (saturating)
+    n_high: np.ndarray      # u32 high-quality occurrences (saturating)
+    first_arr: np.ndarray   # u64 arrival of the first occurrence
+    first_high: np.ndarray  # u32 is_high of the first occurrence
+
+
+def empty_host_agg() -> HostAgg:
+    return HostAgg(
+        shard=np.zeros(0, np.uint32), keybody=np.zeros(0, np.uint64),
+        ret=np.zeros(0, np.uint64), n=np.zeros(0, np.uint32),
+        n_high=np.zeros(0, np.uint32), first_arr=np.zeros(0, np.uint64),
+        first_high=np.zeros(0, np.uint32),
+    )
+
+
+def merge_host_aggs(a: HostAgg, b: HostAgg) -> HostAgg:
+    """Merge two sorted aggregates; `a` must cover the EARLIER stream span.
+
+    Duplicate keys combine: occurrence counts add (saturating at u32),
+    first-occurrence fields come from `a` (stable lexsort keeps the
+    earlier entry first within each key group)."""
+    if len(a.shard) == 0:
+        return b
+    if len(b.shard) == 0:
+        return a
+    shard = np.concatenate([a.shard, b.shard])
+    keybody = np.concatenate([a.keybody, b.keybody])
+    order = np.lexsort((keybody, shard))  # stable: a-entries precede b-dups
+    shard = shard[order]
+    keybody = keybody[order]
+    first = np.empty(len(shard), bool)
+    first[0] = True
+    first[1:] = (shard[1:] != shard[:-1]) | (keybody[1:] != keybody[:-1])
+    starts = np.flatnonzero(first)
+
+    def pick(col_a, col_b):
+        return np.concatenate([col_a, col_b])[order][starts]
+
+    def addsum(col_a, col_b):
+        v = np.concatenate([col_a, col_b])[order].astype(np.uint64)
+        s = np.add.reduceat(v, starts)
+        return np.minimum(s, 0xFFFFFFFF).astype(np.uint32)
+
+    return HostAgg(
+        shard=shard[starts], keybody=keybody[starts],
+        ret=pick(a.ret, b.ret),
+        n=addsum(a.n, b.n), n_high=addsum(a.n_high, b.n_high),
+        first_arr=pick(a.first_arr, b.first_arr),
+        first_high=pick(a.first_high, b.first_high),
+    )
 
 
 def bloom_probe_bits_np(ret: np.ndarray, bf_shift: int, n_hashes: int) -> np.ndarray:
@@ -20,19 +82,30 @@ def bloom_probe_bits_np(ret: np.ndarray, bf_shift: int, n_hashes: int) -> np.nda
     h1 = (ret >> np.uint64(x)) & np.uint64(511)
     h2 = (ret >> np.uint64(bf_shift)) & np.uint64(511)
     h2 = np.where((h2 & np.uint64(31)) == 0, (h2 + np.uint64(1)) & np.uint64(511), h2)
-    n_steps = n_hashes + 8
-    zs = np.empty((len(ret), n_steps), np.uint64)
+    H = n_hashes
+    C = len(ret)
+    # fast path: the first H steps of the z-walk are all valid (z >= 8),
+    # true for ~(504/512)^H of rows; redo only the rest with the full
+    # skip-walk (n_hashes+8 steps always suffice: an arithmetic
+    # progression mod 512 with step not divisible by 32 has at most 8
+    # consecutive terms below 8).
+    out = np.empty((C, H), np.uint64)
     z = h1.copy()
-    for j in range(n_steps):
-        zs[:, j] = z
+    for j in range(H):
+        out[:, j] = z
         z = (z + h2) & np.uint64(511)
-    ok = zs >= 8
-    # first n_hashes valid probes per row
-    rank = np.cumsum(ok, axis=1) - 1
-    out = np.zeros((len(ret), n_hashes), np.uint64)
-    for j in range(n_hashes):
-        sel = ok & (rank == j)
-        out[:, j] = (zs * sel).sum(axis=1)
+    bad = np.flatnonzero((out < 8).any(axis=1))
+    if bad.size:
+        zb = h1[bad].copy()
+        h2b = h2[bad]
+        outb = np.zeros((bad.size, H), np.uint64)
+        cnt = np.zeros(bad.size, np.int64)
+        for _ in range(H + 8):
+            take = np.flatnonzero((zb >= 8) & (cnt < H))
+            outb[take, cnt[take]] = zb[take]
+            cnt[take] += 1
+            zb = (zb + h2b) & np.uint64(511)
+        out[bad] = outb
     return (block[:, None] << np.uint64(BFC_BLK_SHIFT)) | out
 
 
@@ -40,6 +113,8 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
                   bf_shift: int, n_hashes: int) -> np.ndarray:
     """First-occurrence Bloom-hit verdicts (order-exact, vectorized)."""
     C = len(ret)
+    if C == 0:
+        return np.zeros((0,), bool)
     bits = bloom_probe_bits_np(ret, bf_shift, n_hashes)      # [C,H]
     H = n_hashes
     flat_bits = bits.reshape(-1)
@@ -47,14 +122,18 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
     flat_ok = np.repeat(valid, H)
     sent = np.uint64(0xFFFFFFFFFFFFFFFF)
     key = np.where(flat_ok, flat_bits, sent)
-    order = np.lexsort((flat_arr, key))
+    order = np.argsort(key)  # 1-key sort; per-bit min needs no stability
     kb = key[order]
     ka = flat_arr[order]
     first = np.empty(len(kb), bool)
     first[0] = True
     first[1:] = kb[1:] != kb[:-1]
-    seg_start = np.maximum.accumulate(np.where(first, np.arange(len(kb)), 0))
-    min_arr = ka[seg_start]
+    starts = np.flatnonzero(first)
+    gmin = np.minimum.reduceat(ka, starts)
+    counts = np.empty(len(starts), np.int64)
+    np.subtract(starts[1:], starts[:-1], out=counts[:-1])
+    counts[-1] = len(kb) - starts[-1]
+    min_arr = np.repeat(gmin, counts)
     was_set = (min_arr < ka) & (kb != sent)
     hit = np.empty(len(kb), bool)
     hit[order] = was_set
@@ -137,10 +216,12 @@ def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
     """Two-choice cuckoo placement (see spectrum.CuckooTable).
 
     Vectorized random-walk insertion: every unplaced key claims its
-    currently-preferred slot (last writer wins); losers and evicted
-    keys flip to their alternate slot and retry.  Converges in a few
-    dozen rounds at load <= 0.4.  Returns (entries u64[1<<c_bits], ok);
-    ok False => caller falls back to the displacement layout."""
+    currently-preferred slot (per-slot winner chosen by a RANDOMIZED
+    write order -- a deterministic synchronous order can livelock in
+    period-2 eviction cycles at scale); losers and evicted keys flip to
+    their alternate slot and retry.  Converges in a few dozen rounds at
+    load <= 0.4.  Returns (entries u64[1<<c_bits], ok); ok False =>
+    caller falls back to the displacement layout."""
     n = len(shard)
     S = 1 << c_bits
     entries = np.zeros((S,), np.uint64)
@@ -156,10 +237,14 @@ def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
     pref = np.zeros(n, np.uint8)
     cur = s1.copy()
     occupant = np.full(S, -1, np.int64)
+    rng = np.random.default_rng(0xBFC)  # seeded: reproducible layout
     for _ in range(max_rounds):
         pend = ids[occupant[cur] != ids]
         if pend.size == 0:
             break
+        # scatter winner = last writer; randomize the order so no two
+        # keys can fight deterministically forever over one slot
+        pend = pend[rng.permutation(pend.size)]
         occupant[cur[pend]] = pend
         pend2 = ids[occupant[cur] != ids]
         pref[pend2] ^= 1
