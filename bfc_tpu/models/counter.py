@@ -179,61 +179,84 @@ def restore_spectrum(fn: str) -> DeviceSpectrum:
 class AggBuilder:
     """Incremental per-distinct-k-mer aggregation over padded batches.
 
-    Each add() runs ONE fixed-shape device pass (sort + segmented combine
-    over the batch's k-mer stream, spec.chunk_aggregate), then folds the
-    PREVIOUS batch's compacted rows into a host-side binary-counter merge
-    tree (spectrum_host.merge_host_aggs): level i holds 2^i merged
-    batches, so total merge work is O(distinct * log batches) instead of
-    the per-batch full re-sort of the whole aggregate, and the only
-    device compile is the one chunk shape.  Deferring the host pull by
-    one batch overlaps host merging with device compute (the reference's
-    kt_pipeline overlap, kthread.c:118-146).  Arrival order across add()
-    calls must be the stream order."""
+    DEVICE-resident binary-counter merge tree: each add() runs ONE
+    fixed-shape dense pass (sort + segmented combine + compaction,
+    spectrum_dense.chunk_run), then folds the PREVIOUS batch's run into
+    the tree with gather-free bitonic merges (spectrum_dense.merge_runs)
+    - level i holds 2^i merged batches, so total merge work is
+    O(distinct * log batches), entirely on device.  The aggregate
+    crosses the device->host boundary exactly once, in finish(); the
+    per-batch pull that made counting tunnel-bandwidth-bound is gone.
+    Deferring each fold by one batch keeps a chunk in flight (the
+    reference's kt_pipeline overlap, kthread.c:118-146).  Arrival order
+    across add() calls must be the stream order."""
 
     def __init__(self, opt: Opts):
-        from ..ops import spectrum_host as sph
+        import os
 
-        self.sph = sph
+        from ..ops import spectrum_dense as sdn
+
+        self.sdn = sdn
         self.opt = opt
         self.k = opt.k
         self.l_pre = opt.effective_l_pre()
+        self.n_id, _, _ = sdn.run_layout(self.k, self.l_pre)
+        self.backend = os.environ.get("BFC_TPU_DENSE_SORT", "lax")
         self.arrival_base = 0
-        self.levels: List = []   # binary counter; levels[i] = 2^i batches
-        self._pending = None     # (device chunk Aggregate, device count)
+        self.levels: List = []   # binary counter; levels[i] = (planes, count)
+        self._pending = None     # (device run planes at full cap, device count)
         self.n_batches = 0
 
     def add(self, bases, qok, lens) -> None:
         B, L = bases.shape
-        chunk, g = spec.chunk_aggregate(
+        planes, g = self.sdn.chunk_run(
             jnp.asarray(bases), jnp.asarray(qok), jnp.asarray(lens),
-            jnp.uint64(self.arrival_base), self.k, self.l_pre, B * L,
+            jnp.uint64(self.arrival_base), self.k, self.l_pre, self.backend,
         )
         self.arrival_base += B * L
         prev = self._pending
-        self._pending = (chunk, g)
+        self._pending = (planes, g)
         if prev is not None:
             self._fold(prev)
 
-    def _fold(self, pending) -> None:
-        sph = self.sph
-        chunk, g = pending
+    @staticmethod
+    def _bucket(n: int) -> int:
+        # one merge-jit shape per power of two
+        return 1 << max(10, (max(n, 1) - 1).bit_length())
+
+    def _slice(self, planes, g):
         gi = int(g)
-        # bucketed slice length: one transfer shape per power of two
-        gpad = 1 << max(10, (max(gi, 1) - 1).bit_length())
-        ha = sph.HostAgg(*[np.asarray(col[:gpad])[:gi] for col in chunk])
+        cap = self._bucket(gi)
+        return [p[:cap] for p in planes], gi
+
+    def _merge(self, a, b):
+        """Merge two (planes, count) runs; a must be the earlier span."""
+        pa, ca = a
+        pb, cb = b
+        cap = max(pa[0].shape[0], pb[0].shape[0])
+        planes, g = self.sdn.merge_runs(
+            self.sdn.pad_run(pa, cap), self.sdn.pad_run(pb, cap), self.n_id
+        )
+        return self._slice(planes, g)
+
+    def _fold(self, pending) -> None:
+        run = self._slice(*pending)
+        gi = run[1]
         i = 0
         while i < len(self.levels) and self.levels[i] is not None:
-            ha = sph.merge_host_aggs(self.levels[i], ha)  # older first
+            run = self._merge(self.levels[i], run)  # older first
             self.levels[i] = None
             i += 1
         if i == len(self.levels):
             self.levels.append(None)
-        self.levels[i] = ha
+        self.levels[i] = run
         self.n_batches += 1
         log(f"aggregated batch {self.n_batches}: {gi} distinct in chunk",
             func="AggBuilder")
 
     def finish(self):
+        from ..ops import spectrum_host as sph
+
         if self._pending is not None:
             self._fold(self._pending)
             self._pending = None
@@ -241,12 +264,15 @@ class AggBuilder:
         for lvl in reversed(self.levels):  # oldest (highest level) first
             if lvl is None:
                 continue
-            acc = lvl if acc is None else self.sph.merge_host_aggs(acc, lvl)
+            acc = lvl if acc is None else self._merge(acc, lvl)
         self.levels = []
         if acc is None:
-            return self.sph.empty_host_agg()
-        log(f"{len(acc.shard)} distinct k-mers aggregated", func="AggBuilder")
-        return acc
+            return sph.empty_host_agg()
+        planes, count = acc
+        log(f"{count} distinct k-mers aggregated", func="AggBuilder")
+        # the single device->host pull of the whole counting pass
+        host_planes = [np.asarray(p[:count]) for p in planes]
+        return self.sdn.run_to_host_agg(host_planes, count, self.k, self.l_pre)
 
 
 def count_stream_aggregate(
