@@ -22,6 +22,7 @@ from ..opts import Opts
 from ..ops import annotate as ann
 from ..ops import kmer as kops
 from ..ops import search as srch
+from ..ops import spectrum as spec
 from . import refmodel as M
 from .counter import DeviceSpectrum
 
@@ -71,8 +72,9 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     n_n = jnp.sum((ob > 3) & inb, axis=1)
     many_n = n_n.astype(jnp.float64) > lens.astype(jnp.float64) * 0.05
 
-    solid_end, high_end, lcov, hcov, occv = ann.kcov_batch(
-        table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov
+    solid_end, high_end, lcov, hcov, occv, kovf = ann.kcov_batch(
+        table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov,
+        cfg.axis_name, cfg.n_dev,
     )
     isl_start, isl_end, isl_found = ann.best_island_batch(solid_end, lens, k)
 
@@ -82,26 +84,46 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     g_ec = jnp.full((B,), -1, I32)
     g_end = jnp.zeros((B,), I32)
     g_active = need_greedy
+    g_ovf = jnp.zeros((), bool)
+    if cfg.axis_name:
+        # constants must be marked device-varying to match the loop
+        # body's outputs under shard_map
+        g_start, g_ec, g_end, g_ovf = srch._pvary_all(
+            (g_start, g_ec, g_end, g_ovf), cfg.axis_name
+        )
+
+    def _gany(act):
+        """Globally-reduced 'any device still active' (sharded table:
+        the loop body contains collectives, so all devices must run the
+        same trip count)."""
+        a = jnp.any(act)
+        if cfg.axis_name:
+            a = jax.lax.psum(a.astype(I32), cfg.axis_name) > 0
+        return a
 
     def g_cond(c):
-        return jnp.any(c[0])
+        return c[5]
 
     def g_body(c):
-        g_active, g_start, g_ec, g_end = c
+        g_active, g_start, g_ec, g_end, g_ovf, _ = c
         end_pos, x0, x1, x2, x3, found = ann.first_kmer_batch(seq_b, lens, g_start, k)
-        ec = ann.greedy_k_batch(
-            table, x0, x1, x2, x3, mode, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits
+        ec, ovf1 = ann.greedy_k_batch(
+            table, x0, x1, x2, x3, mode, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits,
+            cfg.axis_name, cfg.n_dev,
         )
+        g_ovf = g_ovf | ovf1
         ec = jnp.where(found, ec, -1)
         hit = g_active & found & (ec >= 0)
         g_ec = jnp.where(hit, ec, g_ec)
         g_end = jnp.where(g_active, end_pos, g_end)
         stop = g_active & (~found | hit | (end_pos + (k >> 1) >= lens))
         g_start = jnp.where(g_active & ~stop, end_pos - (k >> 1), g_start)
-        return g_active & ~stop, g_start, g_ec, g_end
+        g_active = g_active & ~stop
+        return g_active, g_start, g_ec, g_end, g_ovf, _gany(g_active)
 
-    g_active, g_start, g_ec, g_end = jax.lax.while_loop(
-        g_cond, g_body, (g_active, g_start, g_ec, g_end)
+    g_active, g_start, g_ec, g_end, g_ovf, _ = jax.lax.while_loop(
+        g_cond, g_body,
+        (g_active, g_start, g_ec, g_end, g_ovf, _gany(g_active)),
     )
     greedy_ok = need_greedy & (g_ec >= 0)
     no_solid = need_greedy & ~greedy_ok
@@ -214,7 +236,9 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
     ec_code = jnp.where(~ok0, code_of(rv0), ec_code)
     ec_code = jnp.where(no_solid, ECCODE_NO_SOLID, ec_code)
     ec_code = jnp.where(many_n, ECCODE_MANY_N, ec_code)
-    overflow = (ov0 | ov1) & searchable
+    # routing-bucket overflows poison the whole local batch's lookups:
+    # push every read to the exact scalar fallback (rare; capacity 2x)
+    overflow = ((ov0 | ov1) & searchable) | kovf | g_ovf
     return dict(
         final_b=final_b, is_diff=is_diff, ob=ob, q=seq_q,
         ec_code=ec_code, brute=greedy_ok.astype(I32),
@@ -223,6 +247,29 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
         max_heap=jnp.maximum(mh0, mh1).astype(I32),
         overflow=overflow,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh_ref"))
+def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
+                         mode, mesh_ref):
+    """correct_core under shard_map: reads data-parallel over the mesh,
+    the spectrum slot-sharded (each device holds 1/n_dev of the cuckoo
+    entries); every lookup routes slot requests with a paired all_to_all
+    (the reference's hash-prefix table sharding, htab.c:28-33, as a
+    collective).  cfg.axis_name/n_dev must be set so the search and
+    greedy loops run globally-synchronized trip counts."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def step(entries_local, seq_b, seq_q, lens, mode):
+        t = spec.ShardedCuckoo(entries=entries_local)
+        return correct_core(t, cfg, seq_b, seq_q, lens, mode)
+
+    return shard_map(
+        step, mesh=mesh_ref.mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P()),
+        out_specs=P("d"),
+    )(table.entries, seq_b, seq_q, lens, mode)
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +284,10 @@ class Corrector:
         self.cfg = make_config(opt, ds, stack_cap, iter_cap)
         self._model_ch: Optional[M.CountHash] = None
         self.mesh = mesh  # data-parallel correction over a device mesh
+        if mesh is not None and isinstance(ds.table, spec.ShardedCuckoo):
+            self.cfg = self.cfg._replace(
+                axis_name="d", n_dev=int(mesh.shape["d"])
+            )
 
     def _fallback_table(self) -> M.CountHash:
         """Scalar CountHash mirror for overflow fallback (built lazily)."""
@@ -373,10 +424,18 @@ class Corrector:
             j_bases = jax.device_put(j_bases, sh)
             j_qflag = jax.device_put(j_qflag, sh)
             j_lens = jax.device_put(j_lens, sh)
-        out = correct_core(
-            self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
-            jnp.int32(self.ds.mode),
-        )
+        if isinstance(self.ds.table, spec.ShardedCuckoo):
+            from ..parallel.mesh import MeshRef
+
+            out = correct_core_sharded(
+                self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
+                jnp.int32(self.ds.mode), MeshRef(self.mesh),
+            )
+        else:
+            out = correct_core(
+                self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
+                jnp.int32(self.ds.mode),
+            )
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of)
 
     def finalize_batch(self, ctx):

@@ -231,16 +231,30 @@ class AggBuilder:
 
     def _merge(self, a, b):
         """Merge two (planes, count) runs; a must be the earlier span."""
+        import os
+        import time
+
         pa, ca = a
         pb, cb = b
         cap = max(pa[0].shape[0], pb[0].shape[0])
+        t0 = time.time()
         planes, g = self.sdn.merge_runs(
             self.sdn.pad_run(pa, cap), self.sdn.pad_run(pb, cap), self.n_id
         )
-        return self._slice(planes, g)
+        out = self._slice(planes, g)
+        if os.environ.get("BFC_TPU_COUNT_DEBUG"):
+            log(f"merge cap={cap} ca={ca} cb={cb} -> {out[1]} "
+                f"in {time.time() - t0:.2f}s", func="AggBuilder")
+        return out
 
     def _fold(self, pending) -> None:
+        import os
+        import time
+
+        t0 = time.time()
         run = self._slice(*pending)
+        if os.environ.get("BFC_TPU_COUNT_DEBUG"):
+            log(f"chunk wait {time.time() - t0:.2f}s", func="AggBuilder")
         gi = run[1]
         i = 0
         while i < len(self.levels) and self.levels[i] is not None:

@@ -135,13 +135,20 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str],
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                in_hash: Optional[str] = None, out_hash: Optional[str] = None,
                no_ec: bool = False, batch_reads: int = 8192,
-               mesh_devices: int = 0) -> str:
+               mesh_devices: int = 0, shard_table: Optional[bool] = None) -> str:
     """Full device pipeline; returns the output text (reference stdout).
 
     mesh_devices > 1 shards the counting pass by hash prefix over a
     device mesh (all-to-all k-mer shuffle) and runs the correction pass
-    data-parallel with the table replicated; output is identical to the
-    single-device pipeline."""
+    data-parallel.  shard_table=True (or BFC_TPU_SHARD_TABLE=1) keeps
+    the finalized spectrum SHARDED across the mesh for correction -
+    lookups route over ICI (the human-scale layout where the table does
+    not fit one device) - instead of replicating it; output is
+    identical either way."""
+    import os
+
+    if shard_table is None:
+        shard_table = os.environ.get("BFC_TPU_SHARD_TABLE", "0") == "1"
     mesh = None
     if mesh_devices and mesh_devices > 1:
         from ..parallel import mesh as pmesh
@@ -166,6 +173,13 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
         if out_hash is not None:
             ds.dump(out_hash)
         if not no_ec:
+            if mesh is not None and shard_table:
+                from ..parallel import mesh as pmesh
+
+                ok = pmesh.shard_cuckoo_table(ds, mesh)
+                if not ok:
+                    log("table layout not shardable; correcting with a "
+                        "replicated table", func="run_device")
             correct_file_device(next_fn, opt, ds, out, batch_reads=batch_reads,
                                 mesh=mesh)
     return "\n".join(out) + ("\n" if out else "")

@@ -20,27 +20,36 @@ I32 = jnp.int32
 U64 = jnp.uint64
 
 
-def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1):
+def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
+                n_dev=1):
+    """Returns (occ, overflow-scalar); see search._occ_of."""
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
+    no_ovf = jnp.zeros((), bool)
+    if isinstance(table, spec.ShardedCuckoo):
+        return spec.sharded_cuckoo_lookup(
+            table, q_shard, q_kb, s_bits, l_pre, kb_bits, axis_name, n_dev
+        )
     if isinstance(table, spec.CuckooTable):
-        return spec.cuckoo_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
+        return spec.cuckoo_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits), no_ovf
     if isinstance(table, spec.PackedTable):
-        return spec.packed_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
-    return spec.table_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits)
+        return spec.packed_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits), no_ovf
+    return spec.table_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits), no_ovf
 
 
-@functools.partial(jax.jit, static_argnames=("k", "l_pre", "s_bits", "kb_bits", "min_cov"))
+@functools.partial(jax.jit, static_argnames=(
+    "k", "l_pre", "s_bits", "kb_bits", "min_cov", "axis_name", "n_dev"))
 def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int,
-               min_cov: int):
+               min_cov: int, axis_name: str = "", n_dev: int = 1):
     """Per-base solid coverage annotation (bfc_ec_kcov, correct.c:96-117).
 
-    Returns (solid_end, high_end, lcov, hcov, occ) where occ is the raw
-    per-position k-mer payload (-1 absent) reused by later stages."""
+    Returns (solid_end, high_end, lcov, hcov, occ, ovf) where occ is the
+    raw per-position k-mer payload (-1 absent) reused by later stages."""
     B, L = seq_b.shape
     x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
     valid = kops.valid_kmer_mask(seq_b, lens, k)
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
-    occ = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1)
+    occ, ovf = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1,
+                           axis_name, n_dev)
     occ = jnp.where(valid, occ, -1)
     present = occ >= 0
     high_end = present & (((occ >> 8) & 0x3F) >= min_cov + 1)
@@ -55,7 +64,7 @@ def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int
     hi = jnp.minimum(idx + k - 1, L - 1)
     lcov = (cs[:, hi] - cs + se) & 63
     hcov = (ch[:, hi] - ch + he) & 63
-    return solid_end, high_end, lcov, hcov, occ
+    return solid_end, high_end, lcov, hcov, occ, ovf
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -118,28 +127,38 @@ def first_kmer_batch(seq_b, lens, start, k: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "l_pre", "s_bits", "kb_bits"))
+@functools.partial(jax.jit, static_argnames=(
+    "k", "l_pre", "s_bits", "kb_bits", "axis_name", "n_dev"))
 def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
-                   kb_bits: int):
+                   kb_bits: int, axis_name: str = "", n_dev: int = 1):
     """Single-substitution brute-force repair (bfc_ec_greedy_k, correct.c:63-80).
 
     Tries all (position, alt-base) substitutions of the k-mer; accepts
     iff 3*best_count > mode and second_best_count < 3.  Returns
-    pos<<2|base or -1, replicating the scan's first-wins tie-breaking.
+    (pos<<2|base or -1, ovf), replicating the scan's first-wins
+    tie-breaking.  All 4k candidates go through ONE batched lookup
+    (one gather round / one routing round instead of 4k).
     """
     B = x0.shape[0]
-    cand_occ = []
+    cand_h0 = []
+    cand_h1 = []
+    cand_skip = []
     cand_code = []
     for i in range(k):
         cur = (((x1 >> U64(i)) & U64(1)) << U64(1)) | ((x0 >> U64(i)) & U64(1))
         for j in range(4):
             nx = kops.change_base(x0, x1, x2, x3, i, jnp.full((B,), j, I32), k)
             _, h0, h1 = kops.canonical_hash(*nx, k)
-            occ = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1)
-            occ = jnp.where(cur == j, -1, occ)  # j == c: skipped
-            cand_occ.append(occ)
+            cand_h0.append(h0)
+            cand_h1.append(h1)
+            cand_skip.append(cur == j)  # j == c: skipped
             cand_code.append((i << 2) | j)
-    occ = jnp.stack(cand_occ, axis=1)             # [B, 4k]
+    occ, ovf = _occ_lookup(
+        table, k, l_pre, s_bits, kb_bits,
+        jnp.stack(cand_h0, axis=1), jnp.stack(cand_h1, axis=1),
+        axis_name, n_dev,
+    )                                             # [B, 4k]
+    occ = jnp.where(jnp.stack(cand_skip, axis=1), -1, occ)
     codes = jnp.asarray(cand_code, I32)           # [4k]
     cnt = jnp.where(occ >= 0, occ & 0xFF, -1)
     # running max with strict > (first wins) == argmax with lowest index
@@ -153,4 +172,4 @@ def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
     ok = (best_cnt * 3 > mode) & (second_cnt < 3)
     # max_ec stays -1 unless some candidate raised max above 0
     has = jnp.max(cnt, axis=1) > 0
-    return jnp.where(ok & has, codes[best_idx], -1)
+    return jnp.where(ok & has, codes[best_idx], -1), ovf

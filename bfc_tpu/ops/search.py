@@ -75,6 +75,10 @@ class SearchConfig(NamedTuple):
     kb_bits: int
     packed: bool
     ff_step: int  # fast-forward run length (0 = disabled)
+    # sharded-table correction (table sharded over a mesh axis; lookups
+    # routed by paired all_to_all): empty axis_name = single-device
+    axis_name: str = ""
+    n_dev: int = 1
 
 
 def _he_pack(pen, zi, zk):
@@ -117,6 +121,17 @@ class State(NamedTuple):
     overflow: jax.Array      # bool [B]
     max_heap: jax.Array      # i32 [B]
     it: jax.Array            # i32 scalar
+
+
+def _pvary_all(xs, axis_name: str):
+    """Mark each leaf as varying over the shard_map axis (no-op for
+    leaves already varying): while_loop carries must have uniform
+    varying-manual-axes types when the body contains collectives."""
+    return tuple(
+        x if axis_name in getattr(jax.typeof(x), "vma", frozenset())
+        else jax.lax.pvary(x, axis_name)
+        for x in xs
+    )
 
 
 def _rows(n):
@@ -251,16 +266,27 @@ def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
 
 
 def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3):
+    """Batched occ lookup; returns (occ, overflow-scalar).
+
+    overflow is always False for local tables; for a ShardedCuckoo it
+    flags an exhausted routing bucket (results unusable -> the caller
+    must push the affected lanes to the scalar fallback)."""
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
+    no_ovf = jnp.zeros((), bool)
+    if isinstance(table, spec.ShardedCuckoo):
+        return spec.sharded_cuckoo_lookup(
+            table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits,
+            cfg.axis_name, cfg.n_dev,
+        )
     if isinstance(table, spec.CuckooTable):
         return spec.cuckoo_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
-                                  cfg.kb_bits)
+                                  cfg.kb_bits), no_ovf
     if cfg.packed:
         return spec.packed_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
-                                  cfg.kb_bits)
+                                  cfg.kb_bits), no_ovf
     return spec.table_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
-                             cfg.kb_bits)
+                             cfg.kb_bits), no_ovf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "debug"))
@@ -368,7 +394,12 @@ def ec1dir_batch(
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
     if win_bits is None:
-        occ_pre = jnp.where(wvalid, _occ_of(table, cfg, x0w, x1w, x2w, x3w), -1)
+        occ_pre0, pre_ovf = _occ_of(table, cfg, x0w, x1w, x2w, x3w)
+        st = st._replace(
+            overflow=st.overflow | (pre_ovf & active),
+            done=st.done | (pre_ovf & active),
+        )
+        occ_pre = jnp.where(wvalid, occ_pre0, -1)
         # -1 & 0xFF reads as 255 (the correct.c:300 quirk)
         w_cnthi = (occ_pre & 0xFF) >= cfg.min_cov + 1
         p_abs_pre = (occ_pre < 0) | ((occ_pre & 0xFF) < cfg.min_cov)
@@ -505,7 +536,11 @@ def ec1dir_batch(
         bb = jnp.broadcast_to(jnp.arange(4, dtype=I32)[None, :], (B, 4))
         nx = kops.append_base(z_x0[:, None], z_x1[:, None],
                               z_x2[:, None], z_x3[:, None], bb, k)
-        occ = _occ_of(table, cfg, *nx)  # i32 [B,4]
+        occ, it_ovf = _occ_of(table, cfg, *nx)  # i32 [B,4]
+        lost = it_ovf & act  # routing-bucket overflow: scalar fallback
+        st = st._replace(overflow=st.overflow | lost, done=st.done | lost)
+        act = act & ~lost
+        ext = ext & ~lost
         cb_ok = ~c_none & (c_b < 4)
         oh4 = jnp.arange(4, dtype=I32)[None, :] == jnp.minimum(c_b, 3)[:, None]
         os = jnp.where(
@@ -674,7 +709,27 @@ def ec1dir_batch(
         )
         return st
 
-    st = jax.lax.while_loop(lambda s: ~jnp.all(s.done), body, st)
+    if cfg.axis_name:
+        # Sharded table: the body contains collectives, so every device
+        # must run the same trip count.  Carry a globally-reduced done
+        # flag (collectives are not allowed in the loop condition).
+        # Constant-initialized state fields must be marked
+        # device-varying to match the body outputs under shard_map.
+        st = State(*_pvary_all(st, cfg.axis_name))
+
+        def _gdone(s):
+            ld = jnp.all(s.done).astype(I32)
+            return jax.lax.psum(ld, cfg.axis_name) == cfg.n_dev
+
+        def gbody(c):
+            s = body(c[0])
+            return s, _gdone(s)
+
+        st, _ = jax.lax.while_loop(
+            lambda c: ~c[1], gbody, (st, _gdone(st))
+        )
+    else:
+        st = jax.lax.while_loop(lambda s: ~jnp.all(s.done), body, st)
 
     # ---- backtrack the best stopped path (correct.c:232-247,374-379)
     success = active & (st.n_paths > 0) & ~st.overflow
@@ -707,7 +762,10 @@ def ec1dir_batch(
         cur = jnp.where(m, ((meta >> 6) & 1023) - 1, cur)
         return cur, ec_b, n_absent
 
-    cur, ec_b, n_absent = jax.lax.while_loop(bt_cond, bt_body, (cur, ec_b, n_absent))
+    bt0 = (cur, ec_b, n_absent)
+    if cfg.axis_name:
+        bt0 = _pvary_all(bt0, cfg.axis_name)
+    cur, ec_b, n_absent = jax.lax.while_loop(bt_cond, bt_body, bt0)
     # mask the region this pass is not responsible for (correct.c:378-379)
     ec_b = jnp.where(
         (idx[None, :] < start[:, None] + k) | (idx[None, :] >= end[:, None]),

@@ -300,6 +300,101 @@ class CuckooTable(NamedTuple):
     entries: jax.Array  # u64 [1 << c_bits]
 
 
+class ShardedCuckoo(NamedTuple):
+    """Slot-range-sharded cuckoo table for meshes where the spectrum does
+    not fit one device (the reference's whole design sizes for this:
+    htab.c:28-33 prefix sharding, 67-84 GB peak on human).
+
+    `entries` is the same u64 [1 << c_bits] array as CuckooTable but laid
+    out sharded over the mesh axis; under shard_map each device sees its
+    contiguous slot block [my * Sl, (my+1) * Sl).  Lookups route slot
+    requests to the owning device with a paired all_to_all
+    (request/response) - see sharded_cuckoo_lookup."""
+
+    entries: jax.Array  # u64, globally [1 << c_bits]; locally [Sl]
+
+
+def route_slot_requests(entries_local, slots, valid, axis_name: str,
+                        n_dev: int, cap: int):
+    """Fetch table entries for global slot ids via paired all_to_all.
+
+    Inside shard_map over `axis_name`.  slots: i32 [N] global slot ids
+    (entries_local covers [my*Sl, (my+1)*Sl)); valid: bool [N].
+    Returns (entries u64 [N], overflow bool scalar): entries are 0 for
+    invalid/dropped requests; overflow=True when any per-destination
+    request bucket exceeded cap (callers must then treat the whole
+    round's results as unusable and fall back)."""
+    N = slots.shape[0]
+    Sl = entries_local.shape[0]
+    dest = jnp.where(valid, slots // Sl, n_dev)
+    # per-destination rank via n_dev dense cumsums (no sort, no gathers)
+    send_pos = jnp.full((N,), n_dev * cap, jnp.int32)
+    overflow = jnp.zeros((), bool)
+    for d in range(n_dev):
+        m = dest == d
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        send_pos = jnp.where(m & (rank < cap), d * cap + rank, send_pos)
+        overflow = overflow | (jnp.sum(m.astype(jnp.int32)) > cap)
+    buf = jnp.full((n_dev * cap,), -1, jnp.int32)
+    buf = buf.at[send_pos].set(slots.astype(jnp.int32), mode="drop")
+    req = jax.lax.all_to_all(
+        buf.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
+        tiled=True,
+    ).reshape(-1)
+    my = jax.lax.axis_index(axis_name)
+    local = req - my.astype(jnp.int32) * Sl
+    ans = jnp.where(
+        req >= 0,
+        entries_local[jnp.clip(local, 0, Sl - 1)],
+        U64(0),
+    )
+    resp = jax.lax.all_to_all(
+        ans.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
+        tiled=True,
+    ).reshape(-1)
+    # the bucket layout is symmetric: my request at send slot (d, r) was
+    # answered by device d and returned to resp slot (d, r)
+    got = resp[jnp.minimum(send_pos, n_dev * cap - 1)]
+    got = jnp.where(valid & (send_pos < n_dev * cap), got, U64(0))
+    return got, overflow
+
+
+def sharded_cuckoo_lookup(table: ShardedCuckoo, q_shard, q_keybody,
+                          c_bits: int, l_pre: int, kb_bits: int,
+                          axis_name: str, n_dev: int):
+    """Batched payload lookup against a slot-sharded cuckoo table.
+
+    Same match semantics as cuckoo_lookup; both probe slots of every
+    query are fetched in ONE routing round.  Returns (occ i32 [...],
+    overflow bool scalar)."""
+    shape = q_shard.shape
+    pk = posk64(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre, kb_bits)
+    qlow = _id_low(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre,
+                   kb_bits, c_bits)
+    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int32)
+    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int32)
+    s2 = s1 ^ alt
+    N = s1.shape[0]
+    slots = jnp.concatenate([s1, s2])
+    valid = jnp.ones((2 * N,), bool)
+    cap = max(64, (2 * N + n_dev - 1) // n_dev * 2)
+    ents, ovf = route_slot_requests(table.entries, slots, valid, axis_name,
+                                    n_dev, cap)
+    e1, e2 = ents[:N], ents[N:]
+
+    def match(e, nest):
+        return (
+            ((e & U64(0x3FFF)) != 0)
+            & (((e >> U64(14)) & U64(1)) == U64(nest))
+            & ((e >> U64(15)) == qlow)
+        )
+
+    v1 = (e1 & U64(0x3FFF)).astype(jnp.int32)
+    v2 = (e2 & U64(0x3FFF)).astype(jnp.int32)
+    occ = jnp.where(match(e1, 0), v1, jnp.where(match(e2, 1), v2, -1))
+    return occ.reshape(shape), ovf
+
+
 _CUCKOO_GOLD = U64(0x9E3779B97F4A7C15)
 
 

@@ -241,6 +241,25 @@ def replicate_table(table, mesh: Mesh):
     return type(table)(*[jax.device_put(x, sh) for x in table])
 
 
+def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
+    """Re-layout ds.table as a slot-range-sharded ShardedCuckoo.
+
+    The human-scale path (htab.c:28-33): each device holds 1/n_dev of
+    the spectrum; correction lookups route slot requests over the mesh
+    (spectrum.sharded_cuckoo_lookup).  Requires the cuckoo layout and a
+    power-of-two device count dividing the table; returns False (table
+    left as-is) otherwise - callers then keep the replicated path."""
+    n_dev = mesh.shape["d"]
+    entries = getattr(ds.table, "entries", None)
+    if not isinstance(ds.table, spec.CuckooTable):
+        return False
+    if n_dev & (n_dev - 1) or entries.shape[0] % n_dev:
+        return False
+    sh = NamedSharding(mesh, P("d"))
+    ds.table = spec.ShardedCuckoo(entries=jax.device_put(entries, sh))
+    return True
+
+
 class MeshRef:
     """Hashable wrapper so a Mesh can be a static jit argument."""
 
