@@ -24,15 +24,25 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU sort/search kernels are expensive to
 # compile (tens of seconds); cache them across processes.
+#
+# NOT on the axon-tunneled TPU backend: executable DESERIALIZATION there
+# hangs for minutes even on ~200 KB entries (measured 2026-08-17: a
+# 13 KB entry loads in 19 ms, a 220 KB entry blocks > 5 min, an 8.6 MB
+# entry ~10 min), so a cache *hit* costs several times more than simply
+# recompiling.  Set BFC_TPU_JAX_CACHE=dir to force the cache on anyway.
 _cache_dir = _os.environ.get(
     "BFC_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax_cache"),
 )
-try:
-    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:  # older jax without the knobs: harmless
-    pass
+_on_axon = "axon" in _os.environ.get("JAX_PLATFORMS", "").lower()
+if "BFC_TPU_JAX_CACHE" in _os.environ or not _on_axon:
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs: harmless
+        pass
 
 from .opts import Opts  # noqa: E402,F401
 

@@ -152,9 +152,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         use_scalar = True
 
     if use_cpu:
+        import os
+
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # CPU compiles deserialize fine; re-enable the persistent cache
+        # that __init__ leaves off under the axon env (see __init__.py)
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.abspath(os.path.join(
+                    os.path.dirname(__file__), "..", ".cache", "jax_cache")),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
 
     count_fn = args[0]
     correct_fn = args[1] if len(args) > 1 else None

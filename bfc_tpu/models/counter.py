@@ -200,12 +200,18 @@ class AggBuilder:
         self.opt = opt
         self.k = opt.k
         self.l_pre = opt.effective_l_pre()
-        self.n_id, _, _ = sdn.run_layout(self.k, self.l_pre)
+        self.n_id, self.n_planes, _ = sdn.run_layout(self.k, self.l_pre)
         self.backend = os.environ.get("BFC_TPU_DENSE_SORT", "lax")
         self.arrival_base = 0
         self.levels: List = []   # binary counter; levels[i] = (planes, count)
         self._pending = None     # (device run planes at full cap, device count)
         self.n_batches = 0
+        # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
+        # compiled ahead of need in background threads, so the growing
+        # aggregate never stalls the stream on a fresh merge compile
+        # (each ladder step costs 5-20 s to compile on a v5e)
+        self._merge_exe: dict = {}
+        self._merge_pool = None
 
     def add(self, bases, qok, lens) -> None:
         B, L = bases.shape
@@ -229,6 +235,41 @@ class AggBuilder:
         cap = self._bucket(gi)
         return [p[:cap] for p in planes], gi
 
+    def _merge_compiled(self, cap: int):
+        """The merge executable for capacity cap (compile if absent)."""
+        import jax
+
+        exe = self._merge_exe.get(cap)
+        if exe is None:
+            spec = [jax.ShapeDtypeStruct((cap,), jnp.uint32)] * self.n_planes
+            exe = self.sdn.merge_runs.lower(spec, spec, n_id=self.n_id).compile()
+            self._merge_exe[cap] = exe
+        elif hasattr(exe, "result"):  # in-flight background compile
+            exe = exe.result()
+            self._merge_exe[cap] = exe
+        return exe
+
+    def _prefetch_ladder(self, cap0: int, steps: int = 7) -> None:
+        """Background-compile merges for caps cap0 .. cap0 << steps."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._merge_pool is None:
+            self._merge_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="bfc-merge-compile"
+            )
+        for i in range(steps + 1):
+            cap = cap0 << i
+            if cap not in self._merge_exe:
+                self._merge_exe[cap] = self._merge_pool.submit(
+                    lambda c=cap: self._compile_cap(c)
+                )
+
+    def _compile_cap(self, cap: int):
+        import jax
+
+        spec = [jax.ShapeDtypeStruct((cap,), jnp.uint32)] * self.n_planes
+        return self.sdn.merge_runs.lower(spec, spec, n_id=self.n_id).compile()
+
     def _merge(self, a, b):
         """Merge two (planes, count) runs; a must be the earlier span."""
         import os
@@ -238,8 +279,8 @@ class AggBuilder:
         pb, cb = b
         cap = max(pa[0].shape[0], pb[0].shape[0])
         t0 = time.time()
-        planes, g = self.sdn.merge_runs(
-            self.sdn.pad_run(pa, cap), self.sdn.pad_run(pb, cap), self.n_id
+        planes, g = self._merge_compiled(cap)(
+            self.sdn.pad_run(pa, cap), self.sdn.pad_run(pb, cap)
         )
         out = self._slice(planes, g)
         if os.environ.get("BFC_TPU_COUNT_DEBUG"):
@@ -256,6 +297,8 @@ class AggBuilder:
         if os.environ.get("BFC_TPU_COUNT_DEBUG"):
             log(f"chunk wait {time.time() - t0:.2f}s", func="AggBuilder")
         gi = run[1]
+        if self.n_batches == 0:
+            self._prefetch_ladder(self._bucket(gi))
         i = 0
         while i < len(self.levels) and self.levels[i] is not None:
             run = self._merge(self.levels[i], run)  # older first
@@ -280,6 +323,9 @@ class AggBuilder:
                 continue
             acc = lvl if acc is None else self._merge(acc, lvl)
         self.levels = []
+        if self._merge_pool is not None:
+            self._merge_pool.shutdown(wait=False, cancel_futures=True)
+            self._merge_pool = None
         if acc is None:
             return sph.empty_host_agg()
         planes, count = acc
