@@ -414,16 +414,18 @@ class Corrector:
                 enc, ((qv - 1) & 7).astype(np.uint8), bases[:n, :Lc]
             )
         qflag &= bases <= 3
-        j_bases = jnp.asarray(bases)
-        j_qflag = jnp.asarray(qflag)
-        j_lens = jnp.asarray(lens)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            sh = NamedSharding(self.mesh, P("d"))
-            j_bases = jax.device_put(j_bases, sh)
-            j_qflag = jax.device_put(j_qflag, sh)
-            j_lens = jax.device_put(j_lens, sh)
+            from ..parallel.mesh import gput
+
+            j_bases = gput(bases, self.mesh, P("d"))
+            j_qflag = gput(qflag, self.mesh, P("d"))
+            j_lens = gput(lens, self.mesh, P("d"))
+        else:
+            j_bases = jnp.asarray(bases)
+            j_qflag = jnp.asarray(qflag)
+            j_lens = jnp.asarray(lens)
         if isinstance(self.ds.table, spec.ShardedCuckoo):
             from ..parallel.mesh import MeshRef
 
@@ -446,7 +448,15 @@ class Corrector:
         n = ctx["n"]
         lens = ctx["lens"]
         text_of = ctx["text_of"]
-        out = {k: np.asarray(v) for k, v in ctx["out"].items()}
+        if jax.process_count() > 1:
+            # multi-host: batch rows are sharded across processes; every
+            # host allgathers the results and assembles identical output
+            # (rank 0 alone emits it - parallel/multihost.py)
+            from ..parallel.mesh import to_host
+
+            out = {k: to_host(v) for k, v in ctx["out"].items()}
+        else:
+            out = {k: np.asarray(v) for k, v in ctx["out"].items()}
         quals_present = ctx["has_q"]
         # whole-batch output re-encoding (correct.c:451-459), then per-read
         # slicing; avoids per-read numpy work on the hot path

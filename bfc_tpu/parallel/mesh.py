@@ -48,6 +48,42 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
+def gput(arr, mesh: Mesh, pspec) -> jax.Array:
+    """Build a global device array from host data, multi-process aware.
+
+    Single process: a plain device_put.  Multi-process (jax.distributed
+    initialized): every process passes the SAME full host array; for a
+    row-sharded spec each process contributes only the row range owned
+    by its local devices (jax.make_array_from_process_local_data), for a
+    replicated spec the full array.  Device order in the mesh must be
+    process-major (jax.devices() order) so global row order equals the
+    host array's row order."""
+    sh = NamedSharding(mesh, pspec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sh)
+    arr = np.asarray(arr)
+    if pspec == P():
+        return jax.make_array_from_process_local_data(sh, arr)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    B = arr.shape[0]
+    assert B % n_proc == 0, (B, n_proc)
+    step = B // n_proc
+    return jax.make_array_from_process_local_data(
+        sh, arr[pid * step : (pid + 1) * step]
+    )
+
+
+def to_host(x) -> np.ndarray:
+    """Pull a (possibly non-fully-addressable) global array to every
+    host: allgather under multi-process, np.asarray otherwise."""
+    if jax.process_count() == 1 or not isinstance(x, jax.Array):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _dev_of_shard(shard, l_pre: int, n_dev: int):
     """Owning device of a table shard = top log2(n_dev) bits of the prefix."""
     shift = max(l_pre - int(np.log2(n_dev)), 0)
@@ -237,8 +273,7 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
 
 def replicate_table(table, mesh: Mesh):
     """Replicate the finalized table across the mesh for dp correction."""
-    sh = NamedSharding(mesh, P())
-    return type(table)(*[jax.device_put(x, sh) for x in table])
+    return type(table)(*[gput(np.asarray(x), mesh, P()) for x in table])
 
 
 def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
@@ -255,8 +290,9 @@ def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
         return False
     if n_dev & (n_dev - 1) or entries.shape[0] % n_dev:
         return False
-    sh = NamedSharding(mesh, P("d"))
-    ds.table = spec.ShardedCuckoo(entries=jax.device_put(entries, sh))
+    ds.table = spec.ShardedCuckoo(
+        entries=gput(np.asarray(entries), mesh, P("d"))
+    )
     return True
 
 
@@ -319,9 +355,9 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         qok[:n, :Lc] = np.where(
             has_q[:, None], rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q, inb
         )
-        bases_s = jax.device_put(jnp.asarray(bases), sh_d)
-        qok_s = jax.device_put(jnp.asarray(qok), sh_d)
-        lens_s = jax.device_put(jnp.asarray(lens), sh_d)
+        bases_s = gput(bases, mesh, P("d"))
+        qok_s = gput(qok, mesh, P("d"))
+        lens_s = gput(lens, mesh, P("d"))
         while True:
             chunk, g, ovf = sharded_chunk_aggregate(
                 bases_s, qok_s, lens_s, arrival_base, k, l_pre,
@@ -361,17 +397,18 @@ def _finalize_sharded(agg: spec.Aggregate, fp, opt):
 
     k = opt.k
     l_pre = opt.effective_l_pre()
-    valid = np.asarray(agg.shard) != 0xFFFFFFFF
-    fp_np = np.asarray(fp).astype(np.uint32)
-    n_occ = np.asarray(agg.n)
+    a_shard = to_host(agg.shard)
+    valid = a_shard != 0xFFFFFFFF
+    fp_np = to_host(fp).astype(np.uint32)
+    n_occ = to_host(agg.n)
     m = n_occ - 1 + fp_np
-    high = np.asarray(agg.n_high) - (1 - fp_np) * np.asarray(agg.first_high)
+    high = to_host(agg.n_high) - (1 - fp_np) * to_host(agg.first_high)
     keep = valid & (m >= 1)
     count = np.minimum(m, 255).astype(np.uint32)
     high = np.minimum(high, 63).astype(np.uint32)
     payload = (count | (high << 8)) * keep
-    shard = np.asarray(agg.shard)[keep]
-    keybody = np.asarray(agg.keybody)[keep]
+    shard = a_shard[keep]
+    keybody = to_host(agg.keybody)[keep]
     payload = payload[keep]
     order = np.lexsort((keybody, shard))
     from ..models.counter import _spectrum_from_sorted
