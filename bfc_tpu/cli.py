@@ -187,15 +187,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             import jax
 
             jax.profiler.start_trace(profile_dir)
-        out = DP.run_device(opt, count_fn, correct_fn=correct_fn, in_hash=in_hash,
-                            out_hash=out_hash, no_ec=no_ec, batch_reads=batch_reads,
-                            mesh_devices=mesh_devices)
+        # stream records to stdout as batches finish (O(batch) memory,
+        # the reference's pipeline behavior)
+        DP.run_device(opt, count_fn, correct_fn=correct_fn, in_hash=in_hash,
+                      out_hash=out_hash, no_ec=no_ec, batch_reads=batch_reads,
+                      mesh_devices=mesh_devices, sink=sys.stdout.buffer)
         if profile_dir:
             import jax
 
             jax.profiler.stop_trace()
             sys.stderr.write(f"[M::main] profiler trace written to {profile_dir}\n")
-        sys.stdout.write(out)
     sys.stderr.write(f"[M::main] Version: {VERSION}\n")
     sys.stderr.write("[M::main] CMD: bfc-tpu " + " ".join(argv) + "\n")
     sys.stderr.write(

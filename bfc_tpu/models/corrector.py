@@ -276,6 +276,71 @@ def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
 # Host driver
 # ---------------------------------------------------------------------------
 
+
+@dataclasses.dataclass
+class BatchResult:
+    """Vectorized per-batch results: final ASCII rows + packed stats.
+
+    seq_rows/qual_rows are uint8 [n, Lrow] matrices holding the output
+    text (sliced by lens); aux/aux2 are the reference's packed stat
+    words (correct.c:552-553); code is the ec_code (aux & 7).  Reads in
+    `exceptional` (device-capacity overflows re-run on the scalar
+    model) carry their full (EcStat, seq, qual) tuple instead."""
+
+    n: int
+    lens: np.ndarray
+    seq_rows: np.ndarray
+    qual_rows: np.ndarray
+    aux: np.ndarray
+    aux2: np.ndarray
+    code: np.ndarray
+    has_q: np.ndarray
+    text_of: object
+    exceptional: dict
+
+    def tuple_of(self, i: int):
+        """Legacy per-read view: (EcStat, seq, qual)."""
+        if i in self.exceptional:
+            return self.exceptional[i]
+        code = int(self.code[i])
+        brute = int(self.aux[i] >> np.uint64(3)) & 1
+        if code != 0:
+            st = M.EcStat(ec_code=code, brute=brute)
+            s_in, q_in = self.text_of(i)
+            return (st, s_in, q_in)
+        a, a2 = int(self.aux[i]), int(self.aux2[i])
+        st = M.EcStat(
+            ec_code=0, brute=brute,
+            n_ec=(a >> 18) & 0x3FFF, n_ec_high=(a >> 4) & 0x3FFF,
+            n_absent=a2 >> 10, rf_code=0, max_heap=a2 & 0xFF,
+        )
+        ln = int(self.lens[i])
+        s2 = self.seq_rows[i, :ln].tobytes().decode("ascii")
+        q2 = (
+            self.qual_rows[i, :ln].tobytes().decode("ascii")
+            if self.has_q[i] else None
+        )
+        return (st, s2, q2)
+
+
+@dataclasses.dataclass
+class WindowResult:
+    """correct_many results scattered back to input order, as arrays."""
+
+    n: int
+    lens: np.ndarray
+    seq_rows: np.ndarray
+    qual_rows: np.ndarray
+    aux: np.ndarray
+    aux2: np.ndarray
+    code: np.ndarray
+    has_q: np.ndarray
+    text_of: object
+    exceptional: dict
+
+    tuple_of = BatchResult.tuple_of
+
+
 class Corrector:
     def __init__(self, opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
                  iter_cap: int = 1024, mesh=None):
@@ -333,18 +398,24 @@ class Corrector:
         )
 
     def correct_many(self, bases0, rawq0, lens0, has_q, text_of,
-                     batch_reads: int, bucketed: bool = True):
-        """Correct a window of reads; returns results in input order.
+                     batch_reads: int, bucketed: bool = True,
+                     as_arrays: bool = False):
+        """Correct a window of reads; results in input order.
 
         With bucketed=True, reads are ordered by a difficulty proxy
         (count of low-quality bases - errors are low-quality, and the
         lockstep search runs to the max iteration count in the batch)
         before being cut into device batches, so easy batches drain in
         few iterations instead of tracking the window's worst read.
-        One batch is kept in flight (dispatch/finalize overlap)."""
+        One batch is kept in flight (dispatch/finalize overlap).
+
+        as_arrays=True returns a WindowResult (batch matrices scattered
+        back to input order, for the native formatter); falls back to
+        the per-read tuple list when any sub-batch took the direct
+        scalar path."""
         n = len(lens0)
         if n == 0:
-            return []
+            return None if as_arrays else []
         if bucketed and n > batch_reads:
             L0 = rawq0.shape[1]
             inb = np.arange(L0)[None, :] < lens0[:, None]
@@ -353,7 +424,55 @@ class Corrector:
             order = np.argsort(proxy, kind="stable")
         else:
             order = np.arange(n)
+        win: Optional[WindowResult] = None
         results: List = [None] * n
+
+        def land(ctx, sel):
+            nonlocal win, as_arrays
+            if as_arrays:
+                br = self.finalize_batch_arrays(ctx)
+                if br is not None:
+                    if win is None:
+                        Lw = br.seq_rows.shape[1]
+                        win = WindowResult(
+                            n=n, lens=np.asarray(lens0),
+                            seq_rows=np.zeros((n, Lw), np.uint8),
+                            qual_rows=np.zeros((n, Lw), np.uint8),
+                            aux=np.zeros((n,), np.uint64),
+                            aux2=np.zeros((n,), np.uint64),
+                            code=np.zeros((n,), np.int64),
+                            has_q=np.asarray(has_q),
+                            text_of=text_of, exceptional={},
+                        )
+                    Lb = br.seq_rows.shape[1]
+                    if Lb > win.seq_rows.shape[1]:  # sticky pad grew
+                        ns = np.zeros((n, Lb), np.uint8)
+                        nq = np.zeros((n, Lb), np.uint8)
+                        ns[:, : win.seq_rows.shape[1]] = win.seq_rows
+                        nq[:, : win.qual_rows.shape[1]] = win.qual_rows
+                        win.seq_rows, win.qual_rows = ns, nq
+                    win.seq_rows[sel, :Lb] = br.seq_rows
+                    win.qual_rows[sel, :Lb] = br.qual_rows
+                    win.aux[sel] = br.aux
+                    win.aux2[sel] = br.aux2
+                    win.code[sel] = br.code
+                    for i, t in br.exceptional.items():
+                        win.exceptional[int(sel[i])] = t
+                    return
+                # direct scalar sub-batch (reads > 504 bp): downgrade the
+                # whole window to per-read tuples
+                as_arrays = False
+                if win is not None:
+                    for j in landed_sels:
+                        results[j] = win.tuple_of(j)
+                    win = None
+                for j, res in enumerate(ctx["direct"]):
+                    results[sel[j]] = res
+                return
+            for j, res in enumerate(self.finalize_batch(ctx)):
+                results[sel[j]] = res
+
+        landed_sels: List[int] = []
         pending = None  # (ctx, orig indices)
         for off in range(0, n, batch_reads):
             sel = order[off : off + batch_reads]
@@ -362,11 +481,12 @@ class Corrector:
                 lambda j, sel=sel: text_of(int(sel[j])),
             )
             if pending is not None:
-                for j, res in enumerate(self.finalize_batch(pending[0])):
-                    results[pending[1][j]] = res
+                land(*pending)
+                landed_sels.extend(int(x) for x in pending[1])
             pending = (ctx, sel)
-        for j, res in enumerate(self.finalize_batch(pending[0])):
-            results[pending[1][j]] = res
+        land(*pending)
+        if as_arrays and win is not None:
+            return win
         return results
 
     def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of):
@@ -440,10 +560,16 @@ class Corrector:
             )
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of)
 
-    def finalize_batch(self, ctx):
-        """Block on the device step and assemble per-read results."""
+    def finalize_batch_arrays(self, ctx) -> Optional["BatchResult"]:
+        """Block on the device step; assemble results as BATCH ARRAYS.
+
+        The whole-batch form of the reference's worker_ec output packing
+        (correct.c:451-459,552-553): final ASCII seq/qual matrices plus
+        packed aux/aux2 stat words, with only the rare overflow-fallback
+        reads handled per read (exceptional dict).  Returns None when
+        the batch took the direct scalar path (reads > 504 bp)."""
         if "direct" in ctx:
-            return ctx["direct"]
+            return None
         opt = self.opt
         n = ctx["n"]
         lens = ctx["lens"]
@@ -460,51 +586,49 @@ class Corrector:
         quals_present = ctx["has_q"]
         # whole-batch output re-encoding (correct.c:451-459), then per-read
         # slicing; avoids per-read numpy work on the hot path
-        fb = out["final_b"]
-        isd = out["is_diff"]
+        fb = out["final_b"][:n]
+        isd = out["is_diff"][:n]
         upper = np.frombuffer(b"ACGTN", np.uint8)[fb]
         lower = np.frombuffer(b"acgtn", np.uint8)[fb]
-        seq_mat = np.where(isd, lower, upper)
-        qual_mat = np.where(
+        seq_rows = np.where(isd, lower, upper)
+        qual_rows = np.where(
             isd,
-            34 + out["ob"].astype(np.uint8),
-            np.frombuffer(b"+?", np.uint8)[out["q"].astype(np.int32)],
+            34 + out["ob"][:n].astype(np.uint8),
+            np.frombuffer(b"+?", np.uint8)[out["q"][:n].astype(np.int32)],
         )
-        seq_rows = seq_mat.tobytes()
-        qual_rows = qual_mat.tobytes()
-        Lrow = seq_mat.shape[1]
-        results = []
-        ec_codes = out["ec_code"]
-        brutes = out["brute"]
-        n_ecs = out["n_ec"]
-        n_ech = out["n_ec_high"]
-        n_abs = out["n_absent"]
-        mhs = out["max_heap"]
-        ovf = out["overflow"]
-        for i in range(n):
-            if ovf[i]:
-                ch = self._fallback_table()
-                s_in, q_in = text_of(i)
-                st, s2, q2 = M.ec1(opt, ch, self.ds.mode, s_in, q_in)
-                results.append((st, s2, q2))
-                continue
-            code = int(ec_codes[i])
-            if code != 0:
-                # on any failure the reference returns with the zero-
-                # initialized stats (correct.c:394 + early returns)
-                st = M.EcStat(ec_code=code, brute=int(brutes[i]))
-                s_in, q_in = text_of(i)
-                results.append((st, s_in, q_in))
-                continue
-            st = M.EcStat(
-                ec_code=0, brute=int(brutes[i]),
-                n_ec=int(n_ecs[i]), n_ec_high=int(n_ech[i]),
-                n_absent=int(n_abs[i]), rf_code=0,
-                max_heap=int(mhs[i]),
-            )
-            ln = int(lens[i])
-            base = i * Lrow
-            s2 = seq_rows[base : base + ln].decode("ascii")
-            q2 = qual_rows[base : base + ln].decode("ascii") if quals_present[i] else None
-            results.append((st, s2, q2))
-        return results
+        U = np.uint64
+        code = out["ec_code"][:n].astype(np.int64)
+        ok = code == 0
+        brute = (out["brute"][:n].astype(U) & U(1)) << U(3)
+        # aux/aux2 packed exactly as worker_ec (correct.c:552-553); on
+        # failure the reference keeps the zero-initialized stats
+        # (correct.c:394 + early returns), so only brute|code survive
+        aux_ok = (
+            ((out["n_ec"][:n].astype(U) & U(0x3FFF)) << U(18))
+            | ((out["n_ec_high"][:n].astype(U) & U(0x3FFF)) << U(4))
+        )
+        aux = np.where(ok, aux_ok, U(0)) | brute | (code.astype(U) & U(7))
+        aux2_ok = (out["n_absent"][:n].astype(U) << U(10)) | (
+            out["max_heap"][:n].astype(U) & U(0xFF)
+        )
+        aux2 = np.where(ok, aux2_ok, U(0))
+        exceptional = {}
+        ovf = out["overflow"][:n]
+        for i in np.nonzero(ovf)[0]:
+            ch = self._fallback_table()
+            s_in, q_in = text_of(int(i))
+            exceptional[int(i)] = M.ec1(opt, ch, self.ds.mode, s_in, q_in)
+        return BatchResult(
+            n=n, lens=np.asarray(lens)[:n],
+            seq_rows=seq_rows, qual_rows=qual_rows,
+            aux=aux, aux2=aux2, code=code,
+            has_q=np.asarray(quals_present)[:n],
+            text_of=text_of, exceptional=exceptional,
+        )
+
+    def finalize_batch(self, ctx):
+        """Block on the device step; per-read (EcStat, seq, qual) tuples."""
+        if "direct" in ctx:
+            return ctx["direct"]
+        br = self.finalize_batch_arrays(ctx)
+        return [br.tuple_of(i) for i in range(br.n)]

@@ -53,14 +53,14 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
             w = int(np.searchsorted(offs, i, side="right")) - 1
             return rbs[w].seq(i - int(offs[w])), rbs[w].qual(i - int(offs[w]))
 
-        res = corr.correct_many(bases, rawq, lens, has_q, text_of, batch_reads)
+        res = corr.correct_many(bases, rawq, lens, has_q, text_of, batch_reads,
+                                as_arrays=True)
         i0 = 0
         for rb in rbs:
-            for i in range(rb.n):
-                st, s2, q2 = res[i0 + i]
-                r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
-                r.aux, r.aux2 = pack_stats(st)
-                format_corrected(r, opt.no_qual, False, opt.discard, out)
+            if res is None or isinstance(res, list):
+                _emit_rb_python(rb, i0, res, opt, out)
+            elif not _emit_rb_native(rb, i0, res, opt, out):
+                _emit_rb_python(rb, i0, res, opt, out)
             i0 += rb.n
         n_done += total
         log(f"processed {n_done} sequences", func="correct_file_device")
@@ -82,6 +82,76 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
             buf = []
     if buf:
         process_window(buf)
+
+
+def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
+    """Emit one ReadBatch's records via the native formatter
+    (native/fastxio.c:fastx_format, the counterpart of the reference's
+    output loop correct.c:596-611).  Requires the fast-parser offsets
+    (names/original text live in rb.buf) and a write_bytes-capable
+    sink; returns False to fall back to the per-read Python path
+    (slow-parser batches, scalar-fallback reads in range, no lib)."""
+    import ctypes
+
+    import numpy as np
+
+    from ..native.build import get_lib
+
+    lib = get_lib()
+    if (lib is None or rb._strings is not None or rb.n == 0
+            or not hasattr(out, "write_bytes")):
+        return False
+    if any(w0 <= i < w0 + rb.n for i in res.exceptional):
+        return False
+    sl = slice(w0, w0 + rb.n)
+    code = res.code[sl]
+    is_fq = res.has_q[sl] & (not opt.no_qual)
+    mode = np.where(code == 0, 0, 1).astype(np.uint8) | (
+        is_fq.astype(np.uint8) << 2
+    )
+    if opt.discard:
+        mode = np.where(code != 0, 3, mode).astype(np.uint8)
+    lens = np.ascontiguousarray(res.lens[sl], dtype=np.int32)
+    name_off = np.ascontiguousarray(rb.name_off, dtype=np.int64)
+    name_len = np.ascontiguousarray(rb.name_len, dtype=np.int32)
+    seq_off = np.ascontiguousarray(rb.seq_off, dtype=np.int64)
+    qual_off = np.ascontiguousarray(rb.qual_off, dtype=np.int64)
+    seq_rows = np.ascontiguousarray(res.seq_rows[sl])
+    qual_rows = np.ascontiguousarray(res.qual_rows[sl])
+    aux = np.ascontiguousarray(res.aux[sl])
+    aux2 = np.ascontiguousarray(res.aux2[sl])
+    cap = int((name_len.astype(np.int64) + 2 * lens + 96).sum()) + 16
+    buf = ctypes.create_string_buffer(cap)
+
+    def p(arr, ct):
+        return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+    ret = lib.fastx_format(
+        rb.n, rb.buf,
+        p(name_off, ctypes.c_int64), p(name_len, ctypes.c_int32),
+        p(seq_off, ctypes.c_int64), p(qual_off, ctypes.c_int64),
+        p(seq_rows, ctypes.c_ubyte), p(qual_rows, ctypes.c_ubyte),
+        seq_rows.shape[1],
+        p(lens, ctypes.c_int32),
+        p(aux, ctypes.c_uint64), p(aux2, ctypes.c_uint64),
+        p(mode, ctypes.c_ubyte),
+        buf, cap,
+    )
+    if ret < 0:
+        return False
+    out.write_bytes(buf.raw[:ret])
+    return True
+
+
+def _emit_rb_python(rb, w0: int, res, opt: Opts, out) -> None:
+    """Per-read emit path (slow-parser batches and fallback reads)."""
+    for i in range(rb.n):
+        st, s2, q2 = (
+            res[w0 + i] if isinstance(res, list) else res.tuple_of(w0 + i)
+        )
+        r = Read(name=rb.name(i), comment=None, seq=s2, qual=q2)
+        r.aux, r.aux2 = pack_stats(st)
+        format_corrected(r, opt.no_qual, False, opt.discard, out)
 
 
 def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str],
@@ -135,8 +205,13 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str],
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                in_hash: Optional[str] = None, out_hash: Optional[str] = None,
                no_ec: bool = False, batch_reads: int = 8192,
-               mesh_devices: int = 0, shard_table: Optional[bool] = None) -> str:
+               mesh_devices: int = 0, shard_table: Optional[bool] = None,
+               sink=None) -> str:
     """Full device pipeline; returns the output text (reference stdout).
+
+    With `sink` (a binary file-like), records stream out as batches
+    finish - O(batch) memory, the reference's pipeline behavior - and
+    the return value is "".
 
     mesh_devices > 1 shards the counting pass by hash prefix over a
     device mesh (all-to-all k-mer shuffle) and runs the correction pass
@@ -149,12 +224,14 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
 
     if shard_table is None:
         shard_table = os.environ.get("BFC_TPU_SHARD_TABLE", "0") == "1"
+    from ..io.writer import OutputWriter
+
     mesh = None
     if mesh_devices and mesh_devices > 1:
         from ..parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh(mesh_devices)
-    out: List[str] = []
+    out = OutputWriter(sink)
     next_fn = correct_fn if correct_fn is not None else count_fn
     if opt.filter_mode:
         bf_high = count_file_filter_device(count_fn, opt)
@@ -182,4 +259,7 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                         "replicated table", func="run_device")
             correct_file_device(next_fn, opt, ds, out, batch_reads=batch_reads,
                                 mesh=mesh)
-    return "\n".join(out) + ("\n" if out else "")
+    if sink is not None:
+        out.flush()
+        return ""
+    return out.getvalue()

@@ -117,3 +117,82 @@ long fastx_parse(
     }
     return r;
 }
+
+/* ------------------------------------------------------------------ */
+/* Batch record formatter: the native counterpart of the reference's
+ * per-read output loop (/root/reference/correct.c:596-611).  Emits n
+ * corrected/filtered records into outp, replacing the per-read Python
+ * string assembly on the hot path.
+ *
+ * mode[i] bits: 0-1 = source (0 corrected rows, 1 original text from
+ * buf, 3 drop), bit 2 = FASTQ (emit qual).  aux/aux2 are the packed
+ * stats exactly as worker_ec packs them (correct.c:552-553); the
+ * header tag is "ec:Z:<code>" plus, when code==0, the underscore
+ * stats suffix.  Returns bytes written, or -1 if cap would overflow
+ * (caller sizes cap from an exact upper bound, so -1 is a bug). */
+
+static char *fmt_u64(char *p, uint64_t v) {
+    char tmp[20];
+    int t = 0;
+    if (v == 0) { *p++ = '0'; return p; }
+    while (v) { tmp[t++] = (char)('0' + (v % 10)); v /= 10; }
+    while (t) *p++ = tmp[--t];
+    return p;
+}
+
+long fastx_format(
+    long n,
+    const char *buf,                       /* raw input block */
+    const int64_t *name_off, const int32_t *name_len,
+    const int64_t *seq_off, const int64_t *qual_off,
+    const unsigned char *seq_rows,         /* [n * lrow] final ASCII */
+    const unsigned char *qual_rows,        /* [n * lrow] final ASCII */
+    long lrow,
+    const int32_t *lens,
+    const uint64_t *aux, const uint64_t *aux2,
+    const unsigned char *mode,
+    char *outp, long cap)
+{
+    char *p = outp, *end = outp + cap;
+    long i;
+    for (i = 0; i < n; i++) {
+        int src = mode[i] & 3;
+        int is_fq = (mode[i] >> 2) & 1;
+        long len = lens[i];
+        uint64_t code = aux[i] & 7;
+        if (src == 3) continue;                     /* dropped (-D) */
+        if (p + name_len[i] + 2 * len + 96 > end) return -1;
+        *p++ = is_fq ? '@' : '>';
+        memcpy(p, buf + name_off[i], (size_t)name_len[i]);
+        p += name_len[i];
+        *p++ = '\t'; *p++ = 'e'; *p++ = 'c'; *p++ = ':'; *p++ = 'Z'; *p++ = ':';
+        p = fmt_u64(p, code);
+        if (code == 0) {
+            *p++ = '_';
+            p = fmt_u64(p, aux2[i] >> 10);          /* n_absent */
+            *p++ = ':';
+            p = fmt_u64(p, aux2[i] & 0xFF);         /* max_heap */
+            *p++ = '_';
+            p = fmt_u64(p, (aux[i] >> 3) & 1);      /* brute */
+            *p++ = '_';
+            p = fmt_u64(p, (aux[i] >> 18) & 0x3FFF);  /* n_ec */
+            *p++ = ':';
+            p = fmt_u64(p, (aux[i] >> 4) & 0x3FFF);   /* n_ec_high */
+            *p++ = '_';
+            p = fmt_u64(p, (aux2[i] >> 8) & 3);     /* rf_code */
+        }
+        *p++ = '\n';
+        if (src == 1) memcpy(p, buf + seq_off[i], (size_t)len);
+        else          memcpy(p, seq_rows + i * lrow, (size_t)len);
+        p += len;
+        *p++ = '\n';
+        if (is_fq) {
+            *p++ = '+'; *p++ = '\n';
+            if (src == 1) memcpy(p, buf + qual_off[i], (size_t)len);
+            else          memcpy(p, qual_rows + i * lrow, (size_t)len);
+            p += len;
+            *p++ = '\n';
+        }
+    }
+    return (long)(p - outp);
+}

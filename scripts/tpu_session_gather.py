@@ -1,229 +1,317 @@
-"""One TPU session: official bench + gather microbenchmarks.
+"""One TPU session: gather microbenchmarks first, then the official bench.
 
 Batched into a single process per the axon claim rules (CLAUDE.md).
-The microbenchmarks derisk the Pallas search-kernel design: what does a
-table probe cost as (a) an XLA gather, (b) a Pallas scalar-indexed VMEM
-load loop, (c) a Pallas dynamic-sublane row load + lane-select?  Run:
+The microbenchmarks derisk the Pallas search-kernel design.  Known
+Mosaic constraints on this backend (from the earlier probe session):
+no 64-bit types, no unsigned reductions, dynamic 1-D scalar VMEM loads
+fail to verify ("multiple of 1024"), pallas_call inside an XLA
+fori_loop body can hit a recursion bug -> every Pallas timing loop
+here runs INSIDE the kernel.  The axon tunnel adds ~30ms per dispatch,
+so XLA ops are timed as K dependent fori_loop iterations in one jit.
 
-    python scripts/tpu_session_gather.py [--skip-bench]
+    python scripts/tpu_session_gather.py [--skip-bench] [--interpret]
 """
 
 from __future__ import annotations
 
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
+INTERPRET = "--interpret" in sys.argv
 
-INTERPRET = False
+import jax
+
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
 
 
-def timeit(fn, *args, n=5):
-    fn(*args)  # compile
-    best = 1e9
+def section(name):
+    def deco(fn):
+        print(f"\n=== {name} ===", flush=True)
+        t0 = time.time()
+        try:
+            fn()
+        except Exception:
+            traceback.print_exc(limit=4)
+        print(f"[section {time.time()-t0:.1f}s]", flush=True)
+        return fn
+    return deco
+
+
+def loop_time(body, init, K=32, n=3):
+    """Time K dependent iterations of body inside one jit; s/iter."""
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, K, body, x)
+    jax.block_until_ready(run(init))
+    t0 = time.time()
     for _ in range(n):
-        t0 = time.perf_counter()
-        r = fn(*args)
-        jax.block_until_ready(r)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        jax.block_until_ready(run(init))
+    return (time.time() - t0) / n / K
 
 
-def microbench():
-    import numpy as np
+def pallas_loop_time(call, init, K=32, n=3):
+    """Time a pallas_call whose kernel runs K iterations internally."""
+    jax.block_until_ready(call(init))
+    t0 = time.time()
+    for _ in range(n):
+        jax.block_until_ready(call(init))
+    return (time.time() - t0) / n / K
 
-    global jax
-    import jax
-    import jax.numpy as jnp
+
+N = 1 << 20           # table entries (4MB i32)
+R = N // 128          # table rows
+Q = 1 << 15           # queries per search iteration (B=8192 x 4)
+K_IT = 16             # in-kernel iterations per timing call
+
+rng = np.random.default_rng(0)
+TAB = rng.integers(0, 1 << 30, N).astype(np.int32)
+IDX = rng.integers(0, N, Q).astype(np.int32)
+
+
+@section("A. XLA in-loop flat gather baseline")
+def sA():
+    tab = jnp.asarray(TAB)
+    for q in (Q, 2 * Q):
+        idx = jnp.asarray(rng.integers(0, N, q).astype(np.int32))
+
+        def body(i, ix):
+            v = tab[ix]
+            return (ix + v) & (N - 1)
+
+        t = loop_time(body, idx, K=K_IT)
+        print(f"A flat i32 gather Q={q}: {t*1e6:.0f}us = {t/q*1e9:.1f} ns/elem",
+              flush=True)
+
+
+@section("B. XLA in-loop take_along_axis (lane + sublane)")
+def sB():
+    tab2 = jnp.asarray(TAB.reshape(R, 128))
+    # lane gather: out[r,l] = t[r, i[r,l]]  (within-row)
+    lidx = jnp.asarray(rng.integers(0, 128, (R // 4, 128)).astype(np.int32))
+    trows = tab2[: R // 4]
+
+    def body_lane(i, ix):
+        v = jnp.take_along_axis(trows, ix, axis=1)
+        return (ix + v) & 127
+
+    t = loop_time(body_lane, lidx, K=K_IT)
+    print(f"B lane TAA [{R//4},128]: {t*1e6:.0f}us = "
+          f"{t/(R//4*128)*1e9:.2f} ns/elem", flush=True)
+
+    # sublane gather: out[q,l] = t[i[q,l], l]
+    sidx = jnp.asarray(rng.integers(0, R, (2048, 128)).astype(np.int32))
+
+    def body_sub(i, ix):
+        v = jnp.take_along_axis(tab2, ix, axis=0)
+        return (ix + v) & (R - 1)
+
+    t = loop_time(body_sub, sidx, K=K_IT)
+    print(f"B sublane TAA [2048,128]: {t*1e6:.0f}us = "
+          f"{t/(2048*128)*1e9:.2f} ns/elem", flush=True)
+
+
+def _pallas(kern, out_sd, n_in, scratch=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N = 1 << 20          # table entries
-    Q = 1 << 15          # queries per search iteration (B=8192 x 4)
-    rng = np.random.default_rng(0)
-    tab32 = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int32))
-    tab64 = jnp.asarray(rng.integers(0, 1 << 62, N, dtype=np.uint64))
-    idx = jnp.asarray(rng.integers(0, N, Q, dtype=np.int32))
+    return pl.pallas_call(
+        kern,
+        out_shape=out_sd,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=list(scratch),
+        interpret=INTERPRET,
+    )
 
-    # ---- (a) XLA gathers
-    g32 = jax.jit(lambda t, i: t[i])
-    t = timeit(g32, tab32, idx)
-    print(f"xla gather i32   [{Q}] from [{N}]: {t*1e6:8.1f} us  "
-          f"({t/Q*1e9:.1f} ns/elem)")
-    g64 = jax.jit(lambda t, i: t[i])
-    t = timeit(g64, tab64, idx)
-    print(f"xla gather u64   [{Q}] from [{N}]: {t*1e6:8.1f} us  "
-          f"({t/Q*1e9:.1f} ns/elem)")
-    # two-probe (the cuckoo pattern): 2 gathers + compare/select
-    def two_probe(t, i):
-        e1 = t[i]
-        e2 = t[(i * 2654435761) % N]
-        return jnp.where(e1 > e2, e1, e2)
-    t = timeit(jax.jit(two_probe), tab32, idx)
-    print(f"xla 2-probe i32  [{Q}] from [{N}]: {t*1e6:8.1f} us")
 
-    # ---- (b) Pallas: scalar fori_loop, dynamic scalar VMEM read
-    R = N // 128
-    tab2d = tab32.reshape(R, 128)
+@section("C. Pallas in-kernel lane gather (take_along_axis axis=1)")
+def sC():
+    rows = TAB.reshape(R, 128)[:2048]
+    lidx = rng.integers(0, 128, (2048, 128)).astype(np.int32)
 
-    def k_scalar(idx_ref, tab_ref, out_ref):
-        def body(q, _):
-            s = idx_ref[q]
-            out_ref[q] = tab_ref[s]
-            return 0
-        jax.lax.fori_loop(0, Q, body, 0)
+    def kern(t_ref, i_ref, o_ref):
+        def body(s, ix):
+            v = jnp.take_along_axis(t_ref[:], ix, axis=1)
+            return (ix + v) & 127
+        o_ref[:] = jax.lax.fori_loop(0, K_IT, body, i_ref[:])
 
-    try:
-        f = pl.pallas_call(
-            k_scalar,
-            out_shape=jax.ShapeDtypeStruct((Q,), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    call = jax.jit(
+        lambda ix: _pallas(kern, jax.ShapeDtypeStruct((2048, 128), jnp.int32), 2)(
+            jnp.asarray(rows), ix
         )
-        jf = jax.jit(lambda i, t: f(i, t))
-        tm = timeit(jf, idx, tab32)
-        ok = np.array_equal(np.asarray(jf(idx, tab32)), np.asarray(g32(tab32, idx)))
-        print(f"pallas scalar-idx VMEM loop:       {tm*1e6:8.1f} us  "
-              f"({tm/Q*1e9:.1f} ns/elem) ok={ok}")
-    except Exception as e:
-        print(f"pallas scalar-idx VMEM loop: FAIL {type(e).__name__}: {str(e)[:200]}")
+    )
+    t = pallas_loop_time(call, jnp.asarray(lidx), K=K_IT)
+    # correctness (1 iteration semantics checked on host)
+    one = np.take_along_axis(rows, lidx, axis=1)
+    print(f"C pallas lane gather [2048,128]: {t*1e6:.0f}us = "
+          f"{t/(2048*128)*1e9:.2f} ns/elem "
+          f"(ref first-iter sample {one[0,0]})", flush=True)
 
-    # ---- (b2) Pallas: accumulate-only dynamic loads (no scalar stores)
-    def k_acc(idx_ref, tab_ref, out_ref):
-        def body(q, acc):
-            return acc + tab_ref[idx_ref[q]]
-        out_ref[0] = jax.lax.fori_loop(0, Q, body, jnp.int32(0))
 
-    try:
-        f = pl.pallas_call(
-            k_acc,
-            out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+@section("D. Pallas in-kernel sublane gather (take_along_axis axis=0)")
+def sD():
+    tab2 = TAB.reshape(R, 128)
+    sidx = rng.integers(0, R, (2048, 128)).astype(np.int32)
+
+    def kern(t_ref, i_ref, o_ref):
+        def body(s, ix):
+            v = jnp.take_along_axis(t_ref[:], ix, axis=0)
+            return (ix + v) & (R - 1)
+        o_ref[:] = jax.lax.fori_loop(0, K_IT, body, i_ref[:])
+
+    call = jax.jit(
+        lambda ix: _pallas(kern, jax.ShapeDtypeStruct((2048, 128), jnp.int32), 2)(
+            jnp.asarray(tab2), ix
         )
-        jf = jax.jit(lambda i, t: f(i, t))
-        tm = timeit(jf, idx, tab32)
-        print(f"pallas scalar-load accumulate:     {tm*1e6:8.1f} us  "
-              f"({tm/Q*1e9:.1f} ns/elem)")
-    except Exception as e:
-        print(f"pallas scalar-load acc: FAIL {type(e).__name__}: {str(e)[:200]}")
+    )
+    t = pallas_loop_time(call, jnp.asarray(sidx), K=K_IT)
+    print(f"D pallas sublane gather [2048,128] from [{R},128]: "
+          f"{t*1e6:.0f}us = {t/(2048*128)*1e9:.2f} ns/elem", flush=True)
 
-    # ---- (c) Pallas: dynamic-sublane row loads, 8 queries/iter, lane select
-    def k_rows(idx_ref, tab_ref, out_ref, scratch):
-        lanes8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-        def body(q8, _):
-            for j in range(8):
-                s = idx_ref[q8 * 8 + j]
-                scratch[j, :] = tab_ref[s >> 7, :]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) * 0
-            # gather lanes: per-row one-hot select
-            sl = jnp.stack([idx_ref[q8 * 8 + j] & 127 for j in range(8)])
-            vals = jnp.sum(
-                jnp.where(lanes8 == sl[:, None], scratch[:, :], 0), axis=1
-            )
-            out_ref[pl.ds(q8 * 8, 8)] = vals
-            return 0
-        jax.lax.fori_loop(0, Q // 8, body, 0)
+@section("E. Pallas full flat-table lookup (row bcast + lane gather)")
+def sE():
+    # lookup val[j] = tab[idx[j]] for Q flat indices, via per-query row
+    # broadcast fetch + lane extract, chunked to bound VMEM
+    tab2 = TAB.reshape(R, 128)
+    CH = 512           # queries per chunk ([CH,128] working set = 256KB)
+    qidx = IDX.reshape(Q // 128, 128)
 
-    try:
-        f = pl.pallas_call(
-            k_rows,
-            out_shape=jax.ShapeDtypeStruct((Q,), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    def kern(t_ref, i_ref, o_ref):
+        def one_round(ix):
+            # ix [Qr,128] flat indices; returns same-shape gathered vals
+            out = jnp.zeros_like(ix)
+            for c in range(Q // 128 // (CH // 128)):
+                blk = ix[c * (CH // 128):(c + 1) * (CH // 128)]  # [CH/128,128]
+                flat_row = (blk >> 7).reshape(CH, 1)             # [CH,1]
+                rows = jnp.take_along_axis(
+                    t_ref[:], jnp.broadcast_to(flat_row, (CH, 128)), axis=0
+                )                                                 # [CH,128]
+                lane = (blk & 127).reshape(CH, 1)
+                v = jnp.take_along_axis(rows, lane, axis=1)       # [CH,1]
+                out = out.at[c * (CH // 128):(c + 1) * (CH // 128)].set(
+                    v.reshape(CH // 128, 128)
+                )
+            return out
+
+        def body(s, ix):
+            v = one_round(ix)
+            return (ix + v) & (N - 1)
+
+        o_ref[:] = jax.lax.fori_loop(0, 4, body, i_ref[:])
+
+    call = jax.jit(
+        lambda ix: _pallas(
+            kern, jax.ShapeDtypeStruct((Q // 128, 128), jnp.int32), 2
+        )(jnp.asarray(tab2), ix)
+    )
+    t = pallas_loop_time(call, jnp.asarray(qidx), K=4)
+    print(f"E pallas flat lookup Q={Q}: {t*1e6:.0f}us = "
+          f"{t/Q*1e9:.1f} ns/elem", flush=True)
+
+
+@section("F. Pallas in-kernel dense one-hot passes vs XLA in-loop")
+def sF():
+    B, S = 2048, 128
+
+    def passes(x, pos, n=30):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        for i in range(n):
+            oh = cols == (pos[:, None] + i) % S
+            v = jnp.sum(jnp.where(oh, x, 0), axis=1, dtype=jnp.int32)
+            x = jnp.where(oh, v[:, None] + 1, x)
+        return x
+
+    x0 = jnp.zeros((B, S), jnp.int32)
+    pos = jnp.arange(B, dtype=jnp.int32) % S
+
+    def kern(p_ref, x_ref, o_ref):
+        def body(s, x):
+            return passes(x, p_ref[:, 0])
+        o_ref[:] = jax.lax.fori_loop(0, K_IT, body, x_ref[:])
+
+    call = jax.jit(
+        lambda x: _pallas(kern, jax.ShapeDtypeStruct((B, S), jnp.int32), 2)(
+            jnp.broadcast_to(pos[:, None], (B, 1)), x
         )
-        jf = jax.jit(lambda i, t: f(i, t))
-        tm = timeit(jf, idx, tab2d)
-        ok = np.array_equal(np.asarray(jf(idx, tab2d)), np.asarray(g32(tab32, idx)))
-        print(f"pallas row-load + lane-select:     {tm*1e6:8.1f} us  "
-              f"({tm/Q*1e9:.1f} ns/elem) ok={ok}")
-    except Exception as e:
-        print(f"pallas row-load: FAIL {type(e).__name__}: {str(e)[:200]}")
+    )
+    t = pallas_loop_time(call, x0, K=K_IT)
+    print(f"F pallas 30 one-hot passes: {t*1e6:.0f}us/iter "
+          f"({t/30*1e6:.1f} us/pass)", flush=True)
 
-    # ---- (d) Pallas: whole-vector gather syntax (probably unsupported)
-    def k_vec(idx_ref, tab_ref, out_ref):
-        out_ref[:] = tab_ref[:][idx_ref[:]]
+    def bodyx(i, x):
+        return passes(x, pos)
+    t = loop_time(bodyx, x0, K=K_IT)
+    print(f"F XLA    30 one-hot passes: {t*1e6:.0f}us/iter "
+          f"({t/30*1e6:.1f} us/pass)", flush=True)
 
-    try:
-        f = pl.pallas_call(
-            k_vec,
-            out_shape=jax.ShapeDtypeStruct((Q,), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+
+@section("G. Pallas cuckoo-style 2-plane lookup (lo/hi i32, 2 probes)")
+def sG():
+    # the real occ lookup: entry u64 split into lo/hi i32 planes, two
+    # probe slots per query, compare + select -- all in one kernel
+    lo = TAB.reshape(R, 128)
+    hi = rng.integers(0, 1 << 30, (R, 128)).astype(np.int32)
+    qidx = IDX.reshape(Q // 128, 128)
+    CH = 512
+
+    def fetch(t_ref, blk):
+        flat_row = (blk >> 7).reshape(CH, 1)
+        rows = jnp.take_along_axis(
+            t_ref[:], jnp.broadcast_to(flat_row, (CH, 128)), axis=0
         )
-        jf = jax.jit(lambda i, t: f(i, t))
-        tm = timeit(jf, idx, tab32)
-        ok = np.array_equal(np.asarray(jf(idx, tab32)), np.asarray(g32(tab32, idx)))
-        print(f"pallas vector-gather syntax:       {tm*1e6:8.1f} us  "
-              f"({tm/Q*1e9:.1f} ns/elem) ok={ok}")
-    except Exception as e:
-        print(f"pallas vector-gather: FAIL {type(e).__name__}: {str(e)[:160]}")
+        lane = (blk & 127).reshape(CH, 1)
+        return jnp.take_along_axis(rows, lane, axis=1).reshape(CH // 128, 128)
 
-    # ---- (e) jnp.take inside pallas
-    def k_take(idx_ref, tab_ref, out_ref):
-        out_ref[:] = jnp.take(tab_ref[:], idx_ref[:], axis=0)
+    def kern(lo_ref, hi_ref, i_ref, o_ref):
+        def one(ix):
+            out = jnp.zeros_like(ix)
+            nch = Q // CH
+            for c in range(nch):
+                blk = ix[c * (CH // 128):(c + 1) * (CH // 128)]
+                s2 = (blk * jnp.int32(-1640531527)) & (N - 1)
+                l1 = fetch(lo_ref, blk)
+                h1 = fetch(hi_ref, blk)
+                l2 = fetch(lo_ref, s2)
+                h2 = fetch(hi_ref, s2)
+                m1 = (h1 ^ blk) < (1 << 16)
+                v = jnp.where(m1, l1, jnp.where((h2 ^ blk) < (1 << 16), l2, -1))
+                out = out.at[c * (CH // 128):(c + 1) * (CH // 128)].set(v)
+            return out
 
-    try:
-        f = pl.pallas_call(
-            k_take,
-            out_shape=jax.ShapeDtypeStruct((Q,), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-        jf = jax.jit(lambda i, t: f(i, t))
-        tm = timeit(jf, idx, tab32)
-        ok = np.array_equal(np.asarray(jf(idx, tab32)), np.asarray(g32(tab32, idx)))
-        print(f"pallas jnp.take:                   {tm*1e6:8.1f} us  "
-              f"({tm/Q*1e9:.1f} ns/elem) ok={ok}")
-    except Exception as e:
-        print(f"pallas jnp.take: FAIL {type(e).__name__}: {str(e)[:160]}")
+        def body(s, ix):
+            v = one(ix)
+            return (ix + v) & (N - 1)
 
-    # ---- (f) context: one dense [8192,1000] i32 select pass (XLA)
-    big = jnp.zeros((8192, 1000), jnp.int32)
-    m = jnp.ones((8192, 1), jnp.int32)
-    t = timeit(jax.jit(lambda a, b: jnp.where(a > b, a, b)), big, m)
-    print(f"xla dense [8192,1000] where pass:  {t*1e6:8.1f} us")
+        o_ref[:] = jax.lax.fori_loop(0, 4, body, i_ref[:])
 
-    # ---- (g) a small in-kernel compute loop: how fast does a fori_loop
-    # of pure vector ops run (per-iteration kernel overhead floor)?
-    def k_loop(x_ref, out_ref):
-        def body(i, acc):
-            return acc + x_ref[:] * (i & 1)
-        out_ref[:] = jax.lax.fori_loop(0, 256, body, jnp.zeros_like(x_ref))
-
-    try:
-        f = pl.pallas_call(
-            k_loop,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-        x = jnp.ones((8, 128), jnp.int32)
-        jf = jax.jit(lambda v: f(v))
-        tm = timeit(jf, x)
-        print(f"pallas 256-iter vec loop:          {tm*1e6:8.1f} us  "
-              f"({tm/256*1e9:.1f} ns/iter)")
-    except Exception as e:
-        print(f"pallas vec loop: FAIL {type(e).__name__}: {str(e)[:160]}")
+    call = jax.jit(
+        lambda ix: _pallas(
+            kern, jax.ShapeDtypeStruct((Q // 128, 128), jnp.int32), 3
+        )(jnp.asarray(lo), jnp.asarray(hi), ix)
+    )
+    t = pallas_loop_time(call, jnp.asarray(qidx), K=4)
+    print(f"G pallas 2-probe 2-plane lookup Q={Q}: {t*1e6:.0f}us "
+          f"(vs XLA 2x u64 gather ~2x section A)", flush=True)
 
 
 def main():
+    for s in ():
+        pass
     if "--skip-bench" not in sys.argv:
+        print("\n==== official bench ====", flush=True)
         import bench
 
         bench.main()
-    print("==== gather microbench ====")
-    microbench()
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
