@@ -71,9 +71,12 @@ def main() -> int:
     # shape inside the timed region on a cold cache
     n_use = max(n_reads // batch * batch, min(n_reads, batch))
 
-    # ---- warm-up: compile every jit shape outside the timed region
+    # ---- warm-up: compile every jit shape outside the timed region,
+    # INCLUDING the background merge-cap ladder (the timed stream would
+    # otherwise stall on mid-stream merge compiles)
     t0 = time.time()
     C.count_stream(iter(reads[:batch]), opt, batch_reads=batch)
+    C.await_merge_ladder()
     sys.stderr.write(f"[bench] counting warm-up (compile): {time.time() - t0:.1f}s\n")
 
     # ---- counting pass (timed)
@@ -99,8 +102,9 @@ def main() -> int:
     res = corr.correct_many(
         mat[:n_use], qmat[:n_use], lens_all, has_q, lambda i: reads[i], batch,
         bucketed=os.environ.get("BENCH_BUCKETED", "1") == "1",
+        as_arrays=True,  # the production path (native batch formatter)
     )
-    n_done = len(res)
+    n_done = len(res) if isinstance(res, list) else res.n
     t_corr = time.time() - t0
     assert n_done == n_use
     sys.stderr.write(

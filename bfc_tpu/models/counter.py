@@ -24,6 +24,20 @@ from ..ops import kmer as kops
 from ..ops import spectrum as spec
 from ..utils.log import log
 
+# process-global merge-executable cache + background compile pool (see
+# AggBuilder: .lower().compile() bypasses the jit cache, so executables
+# must outlive individual builders for warm-up passes to be effective)
+_MERGE_EXE: dict = {}
+_MERGE_POOL = None
+
+
+def await_merge_ladder() -> None:
+    """Block until every in-flight background merge compile has landed
+    (warm-up helper: keeps ladder compiles out of timed/streamed regions)."""
+    for key, exe in list(_MERGE_EXE.items()):
+        if hasattr(exe, "result"):
+            _MERGE_EXE[key] = exe.result()
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -209,9 +223,11 @@ class AggBuilder:
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
         # aggregate never stalls the stream on a fresh merge compile
-        # (each ladder step costs 5-20 s to compile on a v5e)
-        self._merge_exe: dict = {}
-        self._merge_pool = None
+        # (each ladder step costs 5-20 s to compile on a v5e).  The
+        # cache is PROCESS-GLOBAL (keyed by cap and plane layout):
+        # .lower().compile() bypasses the jit cache, so a per-instance
+        # dict would recompile the whole ladder for every builder - a
+        # warm-up pass (bench.py) must be able to pay it once
 
     def add(self, bases, qok, lens) -> None:
         B, L = bases.shape
@@ -235,32 +251,33 @@ class AggBuilder:
         cap = self._bucket(gi)
         return [p[:cap] for p in planes], gi
 
+    def _key(self, cap: int):
+        return (cap, self.n_planes, self.n_id)
+
     def _merge_compiled(self, cap: int):
         """The merge executable for capacity cap (compile if absent)."""
-        import jax
-
-        exe = self._merge_exe.get(cap)
+        exe = _MERGE_EXE.get(self._key(cap))
         if exe is None:
-            spec = [jax.ShapeDtypeStruct((cap,), jnp.uint32)] * self.n_planes
-            exe = self.sdn.merge_runs.lower(spec, spec, n_id=self.n_id).compile()
-            self._merge_exe[cap] = exe
+            exe = self._compile_cap(cap)
+            _MERGE_EXE[self._key(cap)] = exe
         elif hasattr(exe, "result"):  # in-flight background compile
             exe = exe.result()
-            self._merge_exe[cap] = exe
+            _MERGE_EXE[self._key(cap)] = exe
         return exe
 
     def _prefetch_ladder(self, cap0: int, steps: int = 7) -> None:
         """Background-compile merges for caps cap0 .. cap0 << steps."""
+        global _MERGE_POOL
         from concurrent.futures import ThreadPoolExecutor
 
-        if self._merge_pool is None:
-            self._merge_pool = ThreadPoolExecutor(
+        if _MERGE_POOL is None:
+            _MERGE_POOL = ThreadPoolExecutor(
                 max_workers=2, thread_name_prefix="bfc-merge-compile"
             )
         for i in range(steps + 1):
             cap = cap0 << i
-            if cap not in self._merge_exe:
-                self._merge_exe[cap] = self._merge_pool.submit(
+            if self._key(cap) not in _MERGE_EXE:
+                _MERGE_EXE[self._key(cap)] = _MERGE_POOL.submit(
                     lambda c=cap: self._compile_cap(c)
                 )
 
@@ -269,6 +286,8 @@ class AggBuilder:
 
         spec = [jax.ShapeDtypeStruct((cap,), jnp.uint32)] * self.n_planes
         return self.sdn.merge_runs.lower(spec, spec, n_id=self.n_id).compile()
+
+    await_ladder = staticmethod(await_merge_ladder)
 
     def _merge(self, a, b):
         """Merge two (planes, count) runs; a must be the earlier span."""
@@ -323,9 +342,9 @@ class AggBuilder:
                 continue
             acc = lvl if acc is None else self._merge(acc, lvl)
         self.levels = []
-        if self._merge_pool is not None:
-            self._merge_pool.shutdown(wait=False, cancel_futures=True)
-            self._merge_pool = None
+        # the compile pool and executable cache are process-global and
+        # deliberately survive this builder: a warm-up pass's ladder
+        # compiles must be reusable by the next stream
         if acc is None:
             return sph.empty_host_agg()
         planes, count = acc
