@@ -188,8 +188,10 @@ def sharded_merge(a: spec.Aggregate, b: spec.Aggregate, cap: int, mesh_ref):
     return spec.Aggregate(*[x.reshape(-1) for x in out[:7]]), out[7]
 
 
-@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes", "mesh_ref"))
-def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_ref):
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes", "mesh_ref",
+                                              "ev_slack"))
+def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_ref,
+                       ev_slack: int = 2):
     """Distributed Bloom first-occurrence adjudication.
 
     Routes (probe-bit, arrival) events to the device owning the Bloom
@@ -215,7 +217,7 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
             ((flat_bits >> U64(9)) % U64(n_dev)).astype(I32),
             n_dev,
         )
-        cap_ev = (C * H) // n_dev * 2 + 64
+        cap_ev = (C * H) // n_dev * ev_slack + 64
         order = spec.stable_order(dest.astype(jnp.uint32))
         dest_s = dest[order]
         rank = jnp.arange(dest_s.shape[0]) - jnp.searchsorted(dest_s, dest_s, "left")
@@ -378,8 +380,19 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         return count_stream(iter(()), opt)
     log(f"processed {n_reads} sequences over {n_dev} devices",
         func="count_file_mesh")
-    fp, ovf2 = sharded_adjudicate(agg, opt.bf_shift, opt.n_hashes, mref)
-    assert not bool(ovf2), "adjudication bucket overflow"
+    # adjudication events hash-route by Bloom bit; pathological skew can
+    # overflow a destination bucket - retry with more slack instead of
+    # aborting (graceful re-bucketing)
+    ev_slack = 2
+    while True:
+        fp, ovf2 = sharded_adjudicate(agg, opt.bf_shift, opt.n_hashes, mref,
+                                      ev_slack=ev_slack)
+        if not bool(ovf2):
+            break
+        ev_slack *= 2
+        log(f"adjudication bucket overflow; retrying with slack {ev_slack}",
+            func="count_file_mesh")
+        assert ev_slack <= 64, "adjudication bucket overflow beyond 64x slack"
     # fold the fp verdicts into the aggregate, then finalize once
     # globally (the finalize re-runs its own adjudication; zero out the
     # first-occurrence contribution instead by adjusting n/n_high)
