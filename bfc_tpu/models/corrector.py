@@ -55,7 +55,8 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
+def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
+                 soft_cap=None):
     """Device correction of one batch.
 
     seq_b: u8 [B,L] converted bases (refine substitution already applied
@@ -153,9 +154,9 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
         )
         win_f = (w_cnthi, w_abs, w_absh, ff_ok)
     # ---- forward direction over [start, n)
-    ec0, na0, rv0, mh0, ov0 = srch.ec1dir_batch(
+    ec0, na0, rv0, mh0, ov0, it0 = srch.ec1dir_batch(
         table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start, searchable,
-        win_bits=win_f,
+        win_bits=win_f, soft_cap=soft_cap,
     )
     # ---- reverse-complement direction over [n-end, n)
     # Per-row reversal out[b,j] = in[b, lens[b]-1-j].  XLA serializes
@@ -200,9 +201,9 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
             jnp.concatenate([ones, a], axis=1)[:, :L] > 0 for a in rbits
         )
     ok0 = searchable & (rv0 >= 0) & ~ov0
-    ec1r, na1, rv1, mh1, ov1 = srch.ec1dir_batch(
+    ec1r, na1, rv1, mh1, ov1, it1 = srch.ec1dir_batch(
         table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r, ok0,
-        win_bits=win_r,
+        win_bits=win_r, soft_cap=soft_cap,
     )
     ok1 = ok0 & (rv1 >= 0) & ~ov1
     # flip direction-2 output back (complement bases < 4)
@@ -246,12 +247,13 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode):
         n_absent=(na0 + na1).astype(I32),
         max_heap=jnp.maximum(mh0, mh1).astype(I32),
         overflow=overflow,
+        it=jnp.stack([it0, it1]),  # per-direction lockstep trip counts
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh_ref"))
 def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
-                         mode, mesh_ref):
+                         mode, mesh_ref, soft_cap=None):
     """correct_core under shard_map: reads data-parallel over the mesh,
     the spectrum slot-sharded (each device holds 1/n_dev of the cuckoo
     entries); every lookup routes slot requests with a paired all_to_all
@@ -261,15 +263,16 @@ def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def step(entries_local, seq_b, seq_q, lens, mode):
+    def step(entries_local, seq_b, seq_q, lens, mode, sc):
         t = spec.ShardedCuckoo(entries=entries_local)
-        return correct_core(t, cfg, seq_b, seq_q, lens, mode)
+        return correct_core(t, cfg, seq_b, seq_q, lens, mode, soft_cap=sc)
 
+    sc = jnp.int32(cfg.iter_cap if soft_cap is None else soft_cap)
     return shard_map(
         step, mesh=mesh_ref.mesh,
-        in_specs=(P("d"), P("d"), P("d"), P("d"), P()),
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P()),
         out_specs=P("d"),
-    )(table.entries, seq_b, seq_q, lens, mode)
+    )(table.entries, seq_b, seq_q, lens, mode, sc)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +300,7 @@ class BatchResult:
     has_q: np.ndarray
     text_of: object
     exceptional: dict
+    requeue: list = dataclasses.field(default_factory=list)
 
     def tuple_of(self, i: int):
         """Legacy per-read view: (EcStat, seq, qual)."""
@@ -344,6 +348,8 @@ class WindowResult:
 class Corrector:
     def __init__(self, opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
                  iter_cap: int = 1024, mesh=None):
+        import os
+
         self.opt = opt
         self.ds = ds
         self.cfg = make_config(opt, ds, stack_cap, iter_cap)
@@ -353,6 +359,14 @@ class Corrector:
             self.cfg = self.cfg._replace(
                 axis_name="d", n_dev=int(mesh.shape["d"])
             )
+        # soft-capped first pass: the lockstep loop runs to the batch's
+        # max lane, and every batch carries a long iteration tail (most
+        # lanes finish well before the max trip count), so window batches
+        # run with a SMALL iteration cap and the "straggler" reads that
+        # hit it are re-batched once at full caps (exact same per-read
+        # search; see correct_many).  The cap is a TRACED scalar (no
+        # recompile) adapted per batch toward ~10% stragglers.  0 disables.
+        self._soft_cap = int(os.environ.get("BFC_TPU_SOFT_ITERS", "64"))
 
     def _fallback_table(self) -> M.CountHash:
         """Scalar CountHash mirror for overflow fallback (built lazily)."""
@@ -426,6 +440,7 @@ class Corrector:
             order = np.arange(n)
         win: Optional[WindowResult] = None
         results: List = [None] * n
+        stragglers: List[int] = []  # window indices re-batched at full caps
 
         def land(ctx, sel):
             nonlocal win, as_arrays
@@ -458,11 +473,29 @@ class Corrector:
                     win.code[sel] = br.code
                     for i, t in br.exceptional.items():
                         win.exceptional[int(sel[i])] = t
+                    for i in br.requeue:
+                        stragglers.append(int(sel[i]))
+                    if ctx.get("soft"):
+                        # steer the next batch's cap toward ~10% stragglers
+                        frac = len(br.requeue) / max(br.n, 1)
+                        if frac > 0.15:
+                            self._soft_cap = min(
+                                self._soft_cap * 2, self.cfg.iter_cap
+                            )
+                        elif frac < 0.04:
+                            self._soft_cap = max(self._soft_cap * 3 // 4, 24)
                     return
                 # direct scalar sub-batch (reads > 504 bp): downgrade the
                 # whole window to per-read tuples
                 as_arrays = False
                 if win is not None:
+                    for j in stragglers:  # no re-batch stage in tuple mode
+                        ch = self._fallback_table()
+                        s_in, q_in = text_of(j)
+                        win.exceptional[j] = M.ec1(
+                            self.opt, ch, self.ds.mode, s_in, q_in
+                        )
+                    stragglers.clear()
                     for j in landed_sels:
                         results[j] = win.tuple_of(j)
                     win = None
@@ -479,17 +512,34 @@ class Corrector:
             ctx = self.dispatch_arrays(
                 bases0[sel], rawq0[sel], lens0[sel], has_q[sel],
                 lambda j, sel=sel: text_of(int(sel[j])),
+                soft=as_arrays,
             )
             if pending is not None:
                 land(*pending)
                 landed_sels.extend(int(x) for x in pending[1])
             pending = (ctx, sel)
         land(*pending)
+        # straggler pass: reads that hit the soft iteration cap re-run
+        # once at full caps (byte-identical per-read search; only batch
+        # composition changes).  Chunked at batch_reads//4 so stragglers
+        # add exactly one device shape (compiled once per process)
+        s_chunk = max(batch_reads // 4, 256)
+        while as_arrays and stragglers:
+            todo, stragglers = stragglers, []
+            sarr = np.asarray(todo)
+            for off in range(0, len(sarr), s_chunk):
+                sel = sarr[off : off + s_chunk]
+                ctx = self.dispatch_arrays(
+                    bases0[sel], rawq0[sel], lens0[sel], has_q[sel],
+                    lambda j, sel=sel: text_of(int(sel[j])),
+                )
+                land(ctx, sel)
         if as_arrays and win is not None:
             return win
         return results
 
-    def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of):
+    def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of,
+                        soft: bool = False):
         """Launch the device step for an encoded batch WITHOUT blocking.
 
         The returned context is finished by finalize_batch; keeping one
@@ -546,19 +596,22 @@ class Corrector:
             j_bases = jnp.asarray(bases)
             j_qflag = jnp.asarray(qflag)
             j_lens = jnp.asarray(lens)
+        soft = soft and 0 < self._soft_cap < self.cfg.iter_cap
+        sc = jnp.int32(self._soft_cap if soft else self.cfg.iter_cap)
         if isinstance(self.ds.table, spec.ShardedCuckoo):
             from ..parallel.mesh import MeshRef
 
             out = correct_core_sharded(
                 self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
-                jnp.int32(self.ds.mode), MeshRef(self.mesh),
+                jnp.int32(self.ds.mode), MeshRef(self.mesh), soft_cap=sc,
             )
         else:
             out = correct_core(
                 self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
-                jnp.int32(self.ds.mode),
+                jnp.int32(self.ds.mode), soft_cap=sc,
             )
-        return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of)
+        return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,
+                    soft=soft)
 
     def finalize_batch_arrays(self, ctx) -> Optional["BatchResult"]:
         """Block on the device step; assemble results as BATCH ARRAYS.
@@ -584,6 +637,13 @@ class Corrector:
         else:
             out = {k: np.asarray(v) for k, v in ctx["out"].items()}
         quals_present = ctx["has_q"]
+        import os
+
+        if os.environ.get("BFC_TPU_SEARCH_STATS"):
+            from ..utils.log import log
+
+            log(f"search trips fwd/rev = {out['it'].reshape(-1)[:2].tolist()}",
+                func="correct_core")
         # whole-batch output re-encoding (correct.c:451-459), then per-read
         # slicing; avoids per-read numpy work on the hot path
         fb = out["final_b"][:n]
@@ -613,8 +673,14 @@ class Corrector:
         )
         aux2 = np.where(ok, aux2_ok, U(0))
         exceptional = {}
+        requeue: List[int] = []
         ovf = out["overflow"][:n]
         for i in np.nonzero(ovf)[0]:
+            if ctx.get("soft"):
+                # soft-capped first pass: re-batch at full caps (device),
+                # not the scalar fallback - see correct_many
+                requeue.append(int(i))
+                continue
             ch = self._fallback_table()
             s_in, q_in = text_of(int(i))
             exceptional[int(i)] = M.ec1(opt, ch, self.ds.mode, s_in, q_in)
@@ -623,7 +689,7 @@ class Corrector:
             seq_rows=seq_rows, qual_rows=qual_rows,
             aux=aux, aux2=aux2, code=code,
             has_q=np.asarray(quals_present)[:n],
-            text_of=text_of, exceptional=exceptional,
+            text_of=text_of, exceptional=exceptional, requeue=requeue,
         )
 
     def finalize_batch(self, ctx):
@@ -631,4 +697,8 @@ class Corrector:
         if "direct" in ctx:
             return ctx["direct"]
         br = self.finalize_batch_arrays(ctx)
+        for i in br.requeue:  # tuple consumers have no re-batch stage
+            ch = self._fallback_table()
+            s_in, q_in = br.text_of(i)
+            br.exceptional[i] = M.ec1(self.opt, ch, self.ds.mode, s_in, q_in)
         return [br.tuple_of(i) for i in range(br.n)]

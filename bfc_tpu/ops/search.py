@@ -302,6 +302,10 @@ def ec1dir_batch(
     start,      # i32 [B]
     active_in,  # bool [B] which reads participate
     win_bits=None,  # optional (w_cnthi, w_abs, w_absh, ff_ok) bool [B,L]
+    soft_cap=None,  # i32 scalar: dynamic iteration cap <= cfg.iter_cap;
+                    # lanes hitting it overflow (driver re-batches them at
+                    # full caps - exact same per-read search).  TRACED, so
+                    # the driver adapts it per batch without recompiling.
     debug: bool = False,
 ):
     """One direction of the batched best-first search.
@@ -325,6 +329,10 @@ def ec1dir_batch(
     kmask = U64((1 << k) - 1)
     end = lens  # the search end is always the read length (correct.c:425,430)
     r = _rows(B)
+    iter_cap = (
+        jnp.int32(cfg.iter_cap) if soft_cap is None
+        else jnp.minimum(jnp.int32(soft_cap), cfg.iter_cap)
+    )
 
     # ---- initial state: first k-1 valid bases rolled in (correct.c:260-266)
     idx = jnp.arange(L, dtype=jnp.int32)
@@ -703,7 +711,7 @@ def ec1dir_batch(
         )
         full = st.n_paths >= 4
         st = st._replace(done=st.done | (stop & full), it=st.it + 1)
-        iter_over = (st.it >= cfg.iter_cap) & ~st.done
+        iter_over = (st.it >= iter_cap) & ~st.done
         st = st._replace(
             overflow=st.overflow | iter_over, done=st.done | iter_over
         )
@@ -779,6 +787,7 @@ def ec1dir_batch(
         status,
         st.max_heap,
         st.overflow & active,
+        st.it,  # lockstep trip count (batch scheduling diagnostics)
     )
     if debug:
         return out + (st,)
