@@ -367,6 +367,15 @@ class Corrector:
         # search; see correct_many).  The cap is a TRACED scalar (no
         # recompile) adapted per batch toward ~10% stragglers.  0 disables.
         self._soft_cap = int(os.environ.get("BFC_TPU_SOFT_ITERS", "64"))
+        # the soft pass also runs with a small stack pool: every pool
+        # write/extract is a dense pass over [B, stack_cap], and p99
+        # stack depth is ~185, so a 256-slot pool is 4x cheaper than the
+        # full 1000; stack-overflow reads ride the same requeue path
+        soft_stack = int(os.environ.get("BFC_TPU_SOFT_STACK", "256"))
+        self.cfg_main = (
+            self.cfg._replace(stack_cap=soft_stack)
+            if 0 < soft_stack < stack_cap else self.cfg
+        )
 
     def _fallback_table(self) -> M.CountHash:
         """Scalar CountHash mirror for overflow fallback (built lazily)."""
@@ -596,18 +605,20 @@ class Corrector:
             j_bases = jnp.asarray(bases)
             j_qflag = jnp.asarray(qflag)
             j_lens = jnp.asarray(lens)
-        soft = soft and 0 < self._soft_cap < self.cfg.iter_cap
-        sc = jnp.int32(self._soft_cap if soft else self.cfg.iter_cap)
+        soft = soft and self._soft_cap > 0
+        use_cfg = self.cfg_main if soft else self.cfg
+        sc = jnp.int32(min(self._soft_cap, self.cfg.iter_cap) if soft
+                       else self.cfg.iter_cap)
         if isinstance(self.ds.table, spec.ShardedCuckoo):
             from ..parallel.mesh import MeshRef
 
             out = correct_core_sharded(
-                self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
+                self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
                 jnp.int32(self.ds.mode), MeshRef(self.mesh), soft_cap=sc,
             )
         else:
             out = correct_core(
-                self.ds.table, self.cfg, j_bases, j_qflag, j_lens,
+                self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
                 jnp.int32(self.ds.mode), soft_cap=sc,
             )
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,

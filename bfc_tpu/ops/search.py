@@ -180,24 +180,37 @@ def _sift_up(hp, k, pen, sifting, levels):
     return hp, k, sifting
 
 
+H_SLICE = 16  # sliced fast-path heap window (covers heaps of < 16 entries)
+
+
 def heap_push(st: State, he, mask) -> State:
-    """ks_heapup insert of a packed entry (ksort.h:137-146)."""
+    """ks_heapup insert of a packed entry (ksort.h:137-146).
+
+    Lanes inserting at position < 16 (p99 heap size is 4) run the whole
+    sift on a [B,16] slice - the one-hot passes are bandwidth-bound, so
+    the slice costs 1/8 of a full [B,128] pass; 4 sliced levels fully
+    resolve any sift within the window.  Rare larger heaps take a full
+    7-level phase under a cond."""
     B = he.shape[0]
-    r = _rows(B)
     H = st.hp.shape[1]
-    k = jnp.where(mask, st.heap_n, 0)
+    k0 = jnp.where(mask, st.heap_n, 0)
     pen = _he_pen(he)
-    hp, k, sifting = _sift_up(st.hp, k, pen, mask, SHALLOW_LEVELS)
-    hp, k, _ = jax.lax.cond(
-        jnp.any(sifting),
-        lambda t: _sift_up(t[0], t[1], pen, t[2], HEAP_LEVELS - SHALLOW_LEVELS),
-        lambda t: t,
-        (hp, k, sifting),
+    small = k0 < H_SLICE
+    m_s = mask & small
+    hp16 = jax.lax.slice(st.hp, (0, 0), (B, H_SLICE))
+    hp16, k_s, _ = _sift_up(hp16, jnp.minimum(k0, H_SLICE - 1), pen, m_s, 4)
+    hp16 = _hset(hp16, k_s, he, m_s)
+    hp = jnp.concatenate(
+        [hp16, jax.lax.slice(st.hp, (0, H_SLICE), (B, H))], axis=1
     )
-    return st._replace(
-        hp=_hset(hp, k, he, mask),
-        heap_n=st.heap_n + mask.astype(I32),
-    )
+    m_l = mask & ~small
+
+    def full(hpf):
+        hpf, k_l, _ = _sift_up(hpf, k0, pen, m_l, HEAP_LEVELS)
+        return _hset(hpf, k_l, he, m_l)
+
+    hp = jax.lax.cond(jnp.any(m_l), full, lambda h: h, hp)
+    return st._replace(hp=hp, heap_n=st.heap_n + mask.astype(I32))
 
 
 def _sift_down(hp, i, n2, l_pen, sifting, levels):
@@ -222,24 +235,34 @@ def _sift_down(hp, i, n2, l_pen, sifting, levels):
 def heap_pop(st: State, mask):
     """Pop the root; sift the last element down (ksort.h:125-136).
 
+    Same sliced fast path as heap_push: lanes with n2 < 16 sift
+    entirely within a [B,16] slice (4 levels fully resolve a 15-entry
+    heap); larger heaps take the full 7-level phase under a cond.
     Returns (state, z_pen, z_k, z_i)."""
     B = st.heap_n.shape[0]
-    r = _rows(B)
     H = st.hp.shape[1]
     root = st.hp[:, 0]
     n2 = jnp.where(mask, st.heap_n - 1, st.heap_n)
-    last = _hget(st.hp, jnp.minimum(jnp.maximum(n2, 0), H - 1))
-    l_pen = _he_pen(last)
-    i = jnp.zeros((B,), I32)
-    sifting = mask & (n2 > 0)
-    hp, i, sifting = _sift_down(st.hp, i, n2, l_pen, sifting, SHALLOW_LEVELS)
-    hp, i, _ = jax.lax.cond(
-        jnp.any(sifting),
-        lambda t: _sift_down(t[0], t[1], n2, l_pen, t[2], HEAP_LEVELS - SHALLOW_LEVELS),
-        lambda t: t,
-        (hp, i, sifting),
+    small = n2 < H_SLICE
+    act = mask & (n2 > 0)
+    m_s = act & small
+    m_l = act & ~small
+    i0 = jnp.zeros((B,), I32)
+    hp16 = jax.lax.slice(st.hp, (0, 0), (B, H_SLICE))
+    last16 = _hget(hp16, jnp.minimum(jnp.maximum(n2, 0), H_SLICE - 1))
+    hp16, i_s, _ = _sift_down(hp16, i0, n2, _he_pen(last16), m_s, 4)
+    hp16 = _hset(hp16, i_s, last16, m_s)
+    hp = jnp.concatenate(
+        [hp16, jax.lax.slice(st.hp, (0, H_SLICE), (B, H))], axis=1
     )
-    st = st._replace(hp=_hset(hp, i, last, mask & (n2 > 0)), heap_n=n2)
+
+    def full(hpf):
+        last = _hget(hpf, jnp.minimum(jnp.maximum(n2, 0), H - 1))
+        hpf, i_l, _ = _sift_down(hpf, i0, n2, _he_pen(last), m_l, HEAP_LEVELS)
+        return _hset(hpf, i_l, last, m_l)
+
+    hp = jax.lax.cond(jnp.any(m_l), full, lambda h: h, hp)
+    st = st._replace(hp=hp, heap_n=n2)
     return st, _he_pen(root), _he_k(root), _he_i(root)
 
 
@@ -484,8 +507,10 @@ def ec1dir_batch(
             st_n=st.st_n + elig.astype(I32),
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
+        # root replacement = a column-0 write (no one-hot pass)
+        col0 = jnp.where(elig, new_root, st.hp[:, 0])
         return st._replace(
-            hp=_hset(st.hp, jnp.zeros((B,), I32), new_root, elig)
+            hp=jnp.concatenate([col0[:, None], st.hp[:, 1:]], axis=1)
         )
 
     def body(st: State) -> State:
