@@ -513,6 +513,18 @@ def ec1dir_batch(
             hp=jnp.concatenate([col0[:, None], st.hp[:, 1:]], axis=1)
         )
 
+    # packed per-position candidate plane: base(3) | q(1)<<3 | oq(1)<<4 |
+    # lcov(6)<<5 | hcov(6)<<11 - the body's five per-position extracts
+    # share one one-hot mask, so one masked reduce replaces five
+    # (coverages are <= k <= 63, so 6 bits each)
+    cand_pk = (
+        seq_b.astype(I32)
+        | (seq_q.astype(I32) << 3)
+        | (seq_oq.astype(I32) << 4)
+        | (jnp.minimum(lcov, 63) << 5)
+        | (jnp.minimum(hcov, 63) << 11)
+    )
+
     def body(st: State) -> State:
         if FF_STEP > 0:
             st = ff_prestep(st)
@@ -552,18 +564,12 @@ def ec1dir_batch(
         zic = jnp.minimum(zi, L - 1)
         ohz = idx[None, :] == zic[:, None]
         c_none = zi >= lens
-        c_b = jnp.where(
-            c_none, 4,
-            jnp.sum(jnp.where(ohz, seq_b, 0), axis=1, dtype=I32),
-        )
-        c_q = ~c_none & jnp.any(ohz & seq_q, axis=1)
-        c_oq = ~c_none & jnp.any(ohz & seq_oq, axis=1)
-        c_lcov = jnp.where(
-            c_none, 0, jnp.sum(jnp.where(ohz, lcov, 0), axis=1, dtype=I32)
-        )
-        c_hcov = jnp.where(
-            c_none, 0, jnp.sum(jnp.where(ohz, hcov, 0), axis=1, dtype=I32)
-        )
+        c_pk = jnp.sum(jnp.where(ohz, cand_pk, 0), axis=1, dtype=I32)
+        c_b = jnp.where(c_none, 4, c_pk & 7)
+        c_q = ~c_none & ((c_pk & 8) != 0)
+        c_oq = ~c_none & ((c_pk & 16) != 0)
+        c_lcov = jnp.where(c_none, 0, (c_pk >> 5) & 63)
+        c_hcov = jnp.where(c_none, 0, (c_pk >> 11) & 63)
         # one fused table probe for all 4 candidate bases ([B,4] queries in
         # a single gather round instead of 4 separate lookup while-loops)
         bb = jnp.broadcast_to(jnp.arange(4, dtype=I32)[None, :], (B, 4))
