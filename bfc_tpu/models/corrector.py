@@ -485,14 +485,15 @@ class Corrector:
                     for i in br.requeue:
                         stragglers.append(int(sel[i]))
                     if ctx.get("soft"):
-                        # steer the next batch's cap toward ~10% stragglers
+                        # raise the cap when stragglers exceed ~10%; never
+                        # decay - batches arrive easy-to-hard (difficulty
+                        # bucketing), so a cap that was enough for an easy
+                        # batch underestimates the next one
                         frac = len(br.requeue) / max(br.n, 1)
-                        if frac > 0.15:
+                        if frac > 0.10:
                             self._soft_cap = min(
                                 self._soft_cap * 2, self.cfg.iter_cap
                             )
-                        elif frac < 0.04:
-                            self._soft_cap = max(self._soft_cap * 3 // 4, 24)
                     return
                 # direct scalar sub-batch (reads > 504 bp): downgrade the
                 # whole window to per-read tuples
@@ -514,20 +515,38 @@ class Corrector:
             for j, res in enumerate(self.finalize_batch(ctx)):
                 results[sel[j]] = res
 
+        import os
+        import time as _t
+
+        timing = os.environ.get("BFC_TPU_TIMING")
         landed_sels: List[int] = []
         pending = None  # (ctx, orig indices)
         for off in range(0, n, batch_reads):
+            t0 = _t.time()
             sel = order[off : off + batch_reads]
             ctx = self.dispatch_arrays(
                 bases0[sel], rawq0[sel], lens0[sel], has_q[sel],
                 lambda j, sel=sel: text_of(int(sel[j])),
                 soft=as_arrays,
             )
+            t1 = _t.time()
             if pending is not None:
                 land(*pending)
                 landed_sels.extend(int(x) for x in pending[1])
+            if timing:
+                from ..utils.log import log
+
+                log(f"dispatch {t1-t0:.3f}s land {_t.time()-t1:.3f}s "
+                    f"cap={self._soft_cap} stragglers={len(stragglers)}",
+                    func="correct_many")
             pending = (ctx, sel)
+        t1 = _t.time()
         land(*pending)
+        if timing:
+            from ..utils.log import log
+
+            log(f"final land {_t.time()-t1:.3f}s stragglers={len(stragglers)}",
+                func="correct_many")
         # straggler pass: reads that hit the soft iteration cap re-run
         # once at full caps (byte-identical per-read search; only batch
         # composition changes).  Chunked at batch_reads//4 so stragglers
@@ -621,6 +640,15 @@ class Corrector:
                 self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
                 jnp.int32(self.ds.mode), soft_cap=sc,
             )
+        # start the device->host transfers now: each np.asarray in
+        # finalize is otherwise a separate synchronous round trip over
+        # the axon tunnel (~30ms each, ~0.45s/batch); issued here they
+        # overlap the device compute of the NEXT batch
+        for v in out.values():
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                break
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,
                     soft=soft)
 
@@ -638,6 +666,18 @@ class Corrector:
         n = ctx["n"]
         lens = ctx["lens"]
         text_of = ctx["text_of"]
+        import os as _os
+        import time as _t
+
+        if _os.environ.get("BFC_TPU_TIMING"):
+            from ..utils.log import log as _lg
+
+            t0 = _t.time()
+            jax.block_until_ready(ctx["out"]["final_b"])
+            t1 = _t.time()
+            _ = {k: np.asarray(v) for k, v in ctx["out"].items()}
+            _lg(f"device wait {t1-t0:.3f}s pull {_t.time()-t1:.3f}s",
+                func="finalize")
         if jax.process_count() > 1:
             # multi-host: batch rows are sharded across processes; every
             # host allgathers the results and assembles identical output
@@ -686,6 +726,12 @@ class Corrector:
         exceptional = {}
         requeue: List[int] = []
         ovf = out["overflow"][:n]
+        n_ovf = int(ovf.sum())
+        if n_ovf and os.environ.get("BFC_TPU_TIMING"):
+            from ..utils.log import log as _lg
+
+            _lg(f"overflow reads: {n_ovf} (soft={bool(ctx.get('soft'))})",
+                func="finalize")
         for i in np.nonzero(ovf)[0]:
             if ctx.get("soft"):
                 # soft-capped first pass: re-batch at full caps (device),
