@@ -16,6 +16,7 @@ Environment knobs:
   BENCH_READLEN  read length    [100]
   BENCH_K        k-mer length   [25]
   BENCH_BATCH    correction batch size [8192]
+  BENCH_COUNT_BATCH  counting batch size [16384]
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def main() -> int:
     rlen = int(os.environ.get("BENCH_READLEN", 100))
     k = int(os.environ.get("BENCH_K", 25))
     batch = int(os.environ.get("BENCH_BATCH", 8192))
+    cbatch = int(os.environ.get("BENCH_COUNT_BATCH", 16384))
 
     import numpy as np
 
@@ -75,13 +77,13 @@ def main() -> int:
     # INCLUDING the background merge-cap ladder (the timed stream would
     # otherwise stall on mid-stream merge compiles)
     t0 = time.time()
-    C.count_stream(iter(reads[:batch]), opt, batch_reads=batch)
+    C.count_stream(iter(reads[:cbatch]), opt, batch_reads=cbatch)
     C.await_merge_ladder()
     sys.stderr.write(f"[bench] counting warm-up (compile): {time.time() - t0:.1f}s\n")
 
     # ---- counting pass (timed)
     t0 = time.time()
-    ds = C.count_stream(iter(reads[:n_use]), opt, batch_reads=batch)
+    ds = C.count_stream(iter(reads[:n_use]), opt, batch_reads=cbatch)
     t_count = time.time() - t0
     sys.stderr.write(
         f"[bench] counting: {n_use} reads in {t_count:.1f}s = "

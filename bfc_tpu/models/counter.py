@@ -33,10 +33,18 @@ _MERGE_POOL = None
 
 def await_merge_ladder() -> None:
     """Block until every in-flight background merge compile has landed
-    (warm-up helper: keeps ladder compiles out of timed/streamed regions)."""
+    (warm-up helper: keeps ladder compiles out of timed/streamed regions).
+    A failed speculative compile (e.g. a ladder cap whose merge program
+    exceeds device memory) is dropped, not raised: the cap may never be
+    reached, and if it is, the on-demand compile reports the real error."""
     for key, exe in list(_MERGE_EXE.items()):
         if hasattr(exe, "result"):
-            _MERGE_EXE[key] = exe.result()
+            try:
+                _MERGE_EXE[key] = exe.result()
+            except Exception as e:
+                log(f"ladder compile cap={key[0]} failed ({type(e).__name__}); "
+                    "dropped", func="AggBuilder")
+                del _MERGE_EXE[key]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -261,21 +269,35 @@ class AggBuilder:
             exe = self._compile_cap(cap)
             _MERGE_EXE[self._key(cap)] = exe
         elif hasattr(exe, "result"):  # in-flight background compile
-            exe = exe.result()
+            try:
+                exe = exe.result()
+            except Exception:
+                # speculative compile failed; retry in the foreground so
+                # a genuinely-needed cap reports its real error
+                exe = self._compile_cap(cap)
             _MERGE_EXE[self._key(cap)] = exe
         return exe
 
     def _prefetch_ladder(self, cap0: int, steps: int = 7) -> None:
-        """Background-compile merges for caps cap0 .. cap0 << steps."""
+        """Background-compile merges for caps cap0 .. cap0 << steps.
+
+        Speculative caps stop at BFC_TPU_MAX_MERGE_CAP (default 2^24):
+        a cap-C merge holds ~5*C*n_planes u32 live, so 2^26 already
+        exceeds a v5e's HBM and the compile itself fails.  Larger
+        genuinely-needed caps compile (and size-check) on demand."""
         global _MERGE_POOL
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
+        max_cap = int(os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 24)))
         if _MERGE_POOL is None:
             _MERGE_POOL = ThreadPoolExecutor(
                 max_workers=2, thread_name_prefix="bfc-merge-compile"
             )
         for i in range(steps + 1):
             cap = cap0 << i
+            if cap > max_cap:
+                break
             if self._key(cap) not in _MERGE_EXE:
                 _MERGE_EXE[self._key(cap)] = _MERGE_POOL.submit(
                     lambda c=cap: self._compile_cap(c)
@@ -349,8 +371,17 @@ class AggBuilder:
             return sph.empty_host_agg()
         planes, count = acc
         log(f"{count} distinct k-mers aggregated", func="AggBuilder")
-        # the single device->host pull of the whole counting pass
-        host_planes = [np.asarray(p[:count]) for p in planes]
+        # the single device->host pull of the whole counting pass; start
+        # every plane's transfer before materializing any (the tunnel
+        # serializes synchronous pulls at ~30ms+size each)
+        sliced = [p[:count] for p in planes]
+        jax.block_until_ready(sliced)
+        for p in sliced:
+            try:
+                p.copy_to_host_async()
+            except Exception:
+                break
+        host_planes = [np.asarray(p) for p in sliced]
         return self.sdn.run_to_host_agg(host_planes, count, self.k, self.l_pre)
 
 

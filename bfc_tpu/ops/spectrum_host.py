@@ -122,7 +122,7 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
     flat_ok = np.repeat(valid, H)
     sent = np.uint64(0xFFFFFFFFFFFFFFFF)
     key = np.where(flat_ok, flat_bits, sent)
-    order = np.argsort(key)  # 1-key sort; per-bit min needs no stability
+    order = np.argsort(key, kind="stable")  # radix path for ints
     kb = key[order]
     ka = flat_arr[order]
     first = np.empty(len(kb), bool)
@@ -281,8 +281,22 @@ def finalize_host(agg, bf_shift: int, n_hashes: int):
     shard_c = shard[keep]
     keybody_c = keybody[keep]
     payload_c = payload[keep]
-    order = np.lexsort((keybody_c, shard_c))
-    shard_c, keybody_c, payload_c = shard_c[order], keybody_c[order], payload_c[order]
+    # the device merge tree emits aggregates already sorted by
+    # (shard, keybody); skip the O(n log n) lexsort when that holds
+    # (one cheap monotonicity pass), keeping the sort for unsorted
+    # producers (e.g. hash restore)
+    if len(shard_c) > 1:
+        s_gt = shard_c[1:] > shard_c[:-1]
+        s_eq = shard_c[1:] == shard_c[:-1]
+        kb_gt = keybody_c[1:] > keybody_c[:-1]
+        sorted_in = bool(np.all(s_gt | (s_eq & kb_gt)))
+    else:
+        sorted_in = True
+    if not sorted_in:
+        order = np.lexsort((keybody_c, shard_c))
+        shard_c, keybody_c, payload_c = (
+            shard_c[order], keybody_c[order], payload_c[order]
+        )
     hist = np.bincount(payload_c & 0xFF, minlength=256)[:256]
     hist[0] = 0
     hist_high = np.bincount((payload_c >> 8) & 0x3F, minlength=64)[:64]
