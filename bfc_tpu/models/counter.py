@@ -228,6 +228,17 @@ class AggBuilder:
         self.levels: List = []   # binary counter; levels[i] = (planes, count)
         self._pending = None     # (device run planes at full cap, device count)
         self.n_batches = 0
+        # LSM-style host spill: a cap-C device merge holds ~5*C*n_planes
+        # u32 live, so merges beyond ~2^22 rows exceed a v5e's HBM (the
+        # compile itself fails).  When the device counter overflows that
+        # cap it drains COMPLETELY into the host counter (so every spill
+        # is the next contiguous stream span - merge_host_aggs' ordering
+        # contract holds) and restarts empty; rare big merges run on
+        # numpy, frequent small ones stay on device.
+        self.max_dev_cap = int(
+            os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22))
+        )
+        self.host_levels: List = []  # binary counter of HostAggs
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
         # aggregate never stalls the stream on a fresh merge compile
@@ -289,7 +300,7 @@ class AggBuilder:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        max_cap = int(os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 24)))
+        max_cap = self.max_dev_cap
         if _MERGE_POOL is None:
             _MERGE_POOL = ThreadPoolExecutor(
                 max_workers=2, thread_name_prefix="bfc-merge-compile"
@@ -329,6 +340,47 @@ class AggBuilder:
                 f"in {time.time() - t0:.2f}s", func="AggBuilder")
         return out
 
+    def _run_to_host(self, run):
+        """Pull a device run to a HostAgg (async-first plane transfers)."""
+        planes, cnt = run
+        sliced = [p[:cnt] for p in planes]
+        jax.block_until_ready(sliced)
+        for p in sliced:
+            try:
+                p.copy_to_host_async()
+            except Exception:
+                break
+        return self.sdn.run_to_host_agg(
+            [np.asarray(p) for p in sliced], cnt, self.k, self.l_pre
+        )
+
+    def _host_push(self, ha) -> None:
+        """Binary-counter push into the host merge tree (ha = newest)."""
+        from ..ops import spectrum_host as sph
+
+        i = 0
+        while i < len(self.host_levels) and self.host_levels[i] is not None:
+            ha = sph.merge_host_aggs(self.host_levels[i], ha)  # older first
+            self.host_levels[i] = None
+            i += 1
+        if i == len(self.host_levels):
+            self.host_levels.append(None)
+        self.host_levels[i] = ha
+
+    def _spill(self, run) -> None:
+        """Drain the whole device counter + run into the host counter
+        (oldest span first, so host pushes stay in stream order)."""
+        import time
+
+        t0 = time.time()
+        for j in range(len(self.levels) - 1, -1, -1):
+            if self.levels[j] is not None:
+                self._host_push(self._run_to_host(self.levels[j]))
+                self.levels[j] = None
+        self._host_push(self._run_to_host(run))
+        log(f"spilled device counter to host in {time.time()-t0:.1f}s",
+            func="AggBuilder")
+
     def _fold(self, pending) -> None:
         import os
         import time
@@ -342,12 +394,18 @@ class AggBuilder:
             self._prefetch_ladder(self._bucket(gi))
         i = 0
         while i < len(self.levels) and self.levels[i] is not None:
+            cap_need = max(self.levels[i][0][0].shape[0], run[0][0].shape[0])
+            if cap_need > self.max_dev_cap:
+                self._spill(run)
+                run = None
+                break
             run = self._merge(self.levels[i], run)  # older first
             self.levels[i] = None
             i += 1
-        if i == len(self.levels):
-            self.levels.append(None)
-        self.levels[i] = run
+        if run is not None:
+            if i == len(self.levels):
+                self.levels.append(None)
+            self.levels[i] = run
         self.n_batches += 1
         log(f"aggregated batch {self.n_batches}: {gi} distinct in chunk",
             func="AggBuilder")
@@ -362,11 +420,33 @@ class AggBuilder:
         for lvl in reversed(self.levels):  # oldest (highest level) first
             if lvl is None:
                 continue
-            acc = lvl if acc is None else self._merge(acc, lvl)
+            if acc is None:
+                acc = lvl
+                continue
+            cap_need = max(acc[0][0].shape[0], lvl[0][0].shape[0])
+            if cap_need > self.max_dev_cap:
+                self._host_push(self._run_to_host(acc))  # acc = older span
+                acc = lvl
+            else:
+                acc = self._merge(acc, lvl)
         self.levels = []
         # the compile pool and executable cache are process-global and
         # deliberately survive this builder: a warm-up pass's ladder
         # compiles must be reusable by the next stream
+        has_host = any(x is not None for x in self.host_levels)
+        if acc is not None and has_host:
+            self._host_push(self._run_to_host(acc))
+            acc = None
+        if has_host:
+            hacc = None
+            for ha in reversed(self.host_levels):  # oldest first
+                if ha is None:
+                    continue
+                hacc = ha if hacc is None else sph.merge_host_aggs(hacc, ha)
+            self.host_levels = []
+            log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
+                func="AggBuilder")
+            return hacc
         if acc is None:
             return sph.empty_host_agg()
         planes, count = acc
