@@ -300,6 +300,11 @@ class AggBuilder:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
+        if jax.default_backend() == "cpu":
+            # CPU compiles are fast and on-demand; a background compile
+            # racing a foreground one can abort XLA-CPU (observed in the
+            # test suite).  The ladder is a TPU-compile-latency tool.
+            return
         max_cap = self.max_dev_cap
         if _MERGE_POOL is None:
             _MERGE_POOL = ThreadPoolExecutor(
@@ -358,9 +363,11 @@ class AggBuilder:
         """Binary-counter push into the host merge tree (ha = newest)."""
         from ..ops import spectrum_host as sph
 
+        kb_bits = kops.keybody_bits(self.k, self.l_pre)
         i = 0
         while i < len(self.host_levels) and self.host_levels[i] is not None:
-            ha = sph.merge_host_aggs(self.host_levels[i], ha)  # older first
+            ha = sph.merge_host_aggs(self.host_levels[i], ha,  # older first
+                                     l_pre=self.l_pre, kb_bits=kb_bits)
             self.host_levels[i] = None
             i += 1
         if i == len(self.host_levels):
@@ -442,7 +449,9 @@ class AggBuilder:
             for ha in reversed(self.host_levels):  # oldest first
                 if ha is None:
                     continue
-                hacc = ha if hacc is None else sph.merge_host_aggs(hacc, ha)
+                hacc = ha if hacc is None else sph.merge_host_aggs(
+                    hacc, ha, l_pre=self.l_pre,
+                    kb_bits=kops.keybody_bits(self.k, self.l_pre))
             self.host_levels = []
             log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
                 func="AggBuilder")

@@ -97,9 +97,12 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
 
     from ..native.build import get_lib
 
+    import os
+
     lib = get_lib()
     if (lib is None or rb._strings is not None or rb.n == 0
-            or not hasattr(out, "write_bytes")):
+            or not hasattr(out, "write_bytes")
+            or os.environ.get("BFC_TPU_NO_NATIVE_WRITER")):
         return False
     if any(w0 <= i < w0 + rb.n for i in res.exceptional):
         return False
@@ -112,6 +115,8 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
     if opt.discard:
         mode = np.where(code != 0, 3, mode).astype(np.uint8)
     lens = np.ascontiguousarray(res.lens[sl], dtype=np.int32)
+    if res.seq_rows.shape[1] < int(lens.max(initial=0)):
+        return False  # row matrix narrower than a read: python path
     name_off = np.ascontiguousarray(rb.name_off, dtype=np.int64)
     name_len = np.ascontiguousarray(rb.name_len, dtype=np.int32)
     seq_off = np.ascontiguousarray(rb.seq_off, dtype=np.int64)

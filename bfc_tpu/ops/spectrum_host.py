@@ -38,21 +38,40 @@ def empty_host_agg() -> HostAgg:
     )
 
 
-def merge_host_aggs(a: HostAgg, b: HostAgg) -> HostAgg:
+def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
+                    kb_bits: int = None) -> HostAgg:
     """Merge two sorted aggregates; `a` must cover the EARLIER stream span.
 
     Duplicate keys combine: occurrence counts add (saturating at u32),
-    first-occurrence fields come from `a` (stable lexsort keeps the
-    earlier entry first within each key group)."""
+    first-occurrence fields come from `a` (a-entries are placed before
+    equal b-entries).  When l_pre/kb_bits are given and the identity
+    fits 64 bits (k <= 32), both inputs being sorted lets a linear
+    searchsorted merge replace the O(n log n) lexsort - the hot path of
+    the LSM host spill at tens of millions of rows."""
     if len(a.shard) == 0:
         return b
     if len(b.shard) == 0:
         return a
-    shard = np.concatenate([a.shard, b.shard])
-    keybody = np.concatenate([a.keybody, b.keybody])
-    order = np.lexsort((keybody, shard))  # stable: a-entries precede b-dups
-    shard = shard[order]
-    keybody = keybody[order]
+    na, nb = len(a.shard), len(b.shard)
+    fast = (
+        l_pre is not None and kb_bits is not None
+        and 64 - l_pre - kb_bits >= 0
+    )
+    if fast:
+        ka = posk64_np(a.shard, a.keybody, l_pre, kb_bits)
+        kbv = posk64_np(b.shard, b.keybody, l_pre, kb_bits)
+        # output slot per element: a before equal b (earlier span wins)
+        out_a = np.searchsorted(kbv, ka, side="left") + np.arange(na)
+        out_b = np.searchsorted(ka, kbv, side="right") + np.arange(nb)
+        order = np.empty(na + nb, np.int64)
+        order[out_a] = np.arange(na)
+        order[out_b] = np.arange(na, na + nb)
+    else:
+        shard_cat = np.concatenate([a.shard, b.shard])
+        keybody_cat = np.concatenate([a.keybody, b.keybody])
+        order = np.lexsort((keybody_cat, shard_cat))  # stable: a first
+    shard = np.concatenate([a.shard, b.shard])[order]
+    keybody = np.concatenate([a.keybody, b.keybody])[order]
     first = np.empty(len(shard), bool)
     first[0] = True
     first[1:] = (shard[1:] != shard[:-1]) | (keybody[1:] != keybody[:-1])

@@ -20,7 +20,22 @@ HASH2CNT = BUILD / "hash2cnt"
 
 
 def build_reference() -> Path:
+    import fcntl
+
     BUILD.mkdir(exist_ok=True)
+    # parallel test workers (pytest-xdist) race the one-time build:
+    # serialize it with an exclusive file lock
+    lk = open(BUILD / ".lock", "w")
+    fcntl.flock(lk, fcntl.LOCK_EX)
+    try:
+        _build_locked()
+    finally:
+        fcntl.flock(lk, fcntl.LOCK_UN)
+        lk.close()
+    return BIN
+
+
+def _build_locked() -> None:
     srcs = [REF / f for f in ["bfc.c", "bbf.c", "bseq.c", "correct.c", "count.c", "htab.c", "kthread.c", "utils.c"]]
     if not BIN.exists() or any(s.stat().st_mtime > BIN.stat().st_mtime for s in srcs):
         subprocess.run(
@@ -36,7 +51,6 @@ def build_reference() -> Path:
             check=True,
             cwd=str(BUILD),
         )
-    return BIN
 
 
 def run_bfc(args, stdin=None, timeout=600):
