@@ -103,7 +103,7 @@ class State(NamedTuple):
     # stack pool (ecstack1_t + the per-state payload)
     st_meta: jax.Array  # i32 [B,S]: i<<16 | (parent+1)<<6 | b<<4 | flags
     st_ecp: jax.Array   # u64 [B,S] packed correction-position history
-    st_x0: jax.Array    # u64 [B,S] forward k-mer planes
+    st_x0: jax.Array    # [B,S] forward k-mer planes (u32 for k<=31)
     st_x1: jax.Array
     st_n: jax.Array     # i32 [B]
     # root (initial) state payload, addressed by k == -1
@@ -350,6 +350,10 @@ def ec1dir_batch(
     assert L <= 504, "read length exceeds the packed position field"
     k = cfg.k
     kmask = U64((1 << k) - 1)
+    # pool/window plane dtype: a k-bit window fits u32 for k <= 31, and
+    # the pool extracts/writes are bandwidth-bound dense passes - half
+    # the bytes is half the pass cost (u64 kept for larger k)
+    PT = jnp.uint32 if k <= 31 else U64
     end = lens  # the search end is always the read length (correct.c:425,430)
     r = _rows(B)
     iter_cap = (
@@ -385,7 +389,7 @@ def ec1dir_batch(
         heap_n=jnp.zeros((B,), I32),
         st_meta=jnp.zeros((B, S), I32),
         st_ecp=jnp.zeros((B, S), U64),
-        st_x0=jnp.zeros((B, S), U64), st_x1=jnp.zeros((B, S), U64),
+        st_x0=jnp.zeros((B, S), PT), st_x1=jnp.zeros((B, S), PT),
         st_n=jnp.zeros((B,), I32),
         root_x0=_rowget(bw_lo, prev) & maskk1,
         root_x1=_rowget(bw_hi, prev) & maskk1,
@@ -423,6 +427,8 @@ def ec1dir_batch(
     FF_STEP = cfg.ff_step
     assert FF_STEP <= 63, "run length must fit the 6-bit meta field"
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
+    x0w_p = x0w.astype(PT)  # pool-dtype copies for the per-iteration extracts
+    x1w_p = x1w.astype(PT)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
     if win_bits is None:
         occ_pre0, pre_ovf = _occ_of(table, cfg, x0w, x1w, x2w, x3w)
@@ -502,8 +508,8 @@ def ec1dir_batch(
         st = st._replace(
             st_meta=jnp.where(oh_slot, meta_run[:, None], st.st_meta),
             st_ecp=jnp.where(oh_slot, f_ecp[:, None], st.st_ecp),
-            st_x0=jnp.where(oh_slot, _rowget(x0w, last_pos)[:, None], st.st_x0),
-            st_x1=jnp.where(oh_slot, _rowget(x1w, last_pos)[:, None], st.st_x1),
+            st_x0=jnp.where(oh_slot, _rowget(x0w_p, last_pos)[:, None], st.st_x0),
+            st_x1=jnp.where(oh_slot, _rowget(x1w_p, last_pos)[:, None], st.st_x1),
             st_n=st.st_n + elig.astype(I32),
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
@@ -543,8 +549,8 @@ def ec1dir_batch(
         # ---- fetch the popped state's payload (stack pool or root)
         is_root = z_k < 0
         zkc = jnp.maximum(z_k, 0)
-        z_x0 = jnp.where(is_root, st.root_x0, _rowget(st.st_x0, zkc))
-        z_x1 = jnp.where(is_root, st.root_x1, _rowget(st.st_x1, zkc))
+        z_x0 = jnp.where(is_root, st.root_x0, _rowget(st.st_x0, zkc).astype(U64))
+        z_x1 = jnp.where(is_root, st.root_x1, _rowget(st.st_x1, zkc).astype(U64))
         # stack states always hold full k-base windows: RC = rev_k ^ mask
         z_x2 = jnp.where(is_root, st.root_x2, kops.reverse_k(z_x0, k) ^ kmask)
         z_x3 = jnp.where(is_root, st.root_x3, kops.reverse_k(z_x1, k) ^ kmask)
@@ -712,8 +718,8 @@ def ec1dir_batch(
         st = st._replace(
             st_meta=_pool_write(st.st_meta, meta4),
             st_ecp=_pool_write(st.st_ecp, ecp4),
-            st_x0=_pool_write(st.st_x0, nx0_4),
-            st_x1=_pool_write(st.st_x1, nx1_4),
+            st_x0=_pool_write(st.st_x0, nx0_4.astype(PT)),
+            st_x1=_pool_write(st.st_x1, nx1_4.astype(PT)),
             st_n=st.st_n + n_push,
         )
         # heap inserts, sequential in b order (each with its own sift-up)
