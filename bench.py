@@ -11,7 +11,7 @@ first): the anchor excludes compilation too, and the cost amortizes to
 zero at production scale.
 
 Environment knobs:
-  BENCH_GENOME   genome length  [250000]
+  BENCH_GENOME   genome length  [500000]
   BENCH_COVERAGE fold coverage  [60]
   BENCH_READLEN  read length    [100]
   BENCH_K        k-mer length   [25]
@@ -34,7 +34,7 @@ def main() -> int:
     from bfc_tpu.models import counter as C
     from bfc_tpu.opts import Opts
 
-    glen = int(os.environ.get("BENCH_GENOME", 250_000))
+    glen = int(os.environ.get("BENCH_GENOME", 500_000))
     cov = int(os.environ.get("BENCH_COVERAGE", 60))
     rlen = int(os.environ.get("BENCH_READLEN", 100))
     k = int(os.environ.get("BENCH_K", 25))
