@@ -292,10 +292,10 @@ class AggBuilder:
     def _prefetch_ladder(self, cap0: int, steps: int = 7) -> None:
         """Background-compile merges for caps cap0 .. cap0 << steps.
 
-        Speculative caps stop at BFC_TPU_MAX_MERGE_CAP (default 2^24):
-        a cap-C merge holds ~5*C*n_planes u32 live, so 2^26 already
-        exceeds a v5e's HBM and the compile itself fails.  Larger
-        genuinely-needed caps compile (and size-check) on demand."""
+        Speculative caps stop at self.max_dev_cap (BFC_TPU_MAX_MERGE_CAP,
+        default 2^22): a cap-C merge holds ~5*C*n_planes u32 live, so
+        caps beyond ~2^22 exceed a v5e's HBM and the compile itself
+        fails; past the cap the builder LSM-spills to the host tree."""
         global _MERGE_POOL
         import os
         from concurrent.futures import ThreadPoolExecutor

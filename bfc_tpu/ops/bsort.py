@@ -54,14 +54,13 @@ def _gt(a_planes, b_planes, nk: int):
     return gt
 
 
-def _exchange(planes, stride: int, up_mask, record: bool):
+def _exchange(planes, stride: int, up_mask, record: bool, nk: int):
     """One compare-exchange pass at the given stride.
 
     Partners are i and i ^ stride, realized as a [*, 2, stride] reshape;
     up_mask has the pass's ascending/descending flag per pair (shape
     broadcastable to [N/(2*stride), 1, stride]).  Returns (planes, mask)
     where mask (bool, same nested shape) says "pair was swapped"."""
-    nk = _exchange.nk
     N = planes[0].shape[0]
     r = [p.reshape(N // (2 * stride), 2, stride) for p in planes]
     lo = [p[:, 0, :] for p in r]
@@ -96,7 +95,6 @@ def sort_planes(planes: Sequence[jax.Array], nk: int, record: bool = False):
     planes = list(planes)
     N = planes[0].shape[0]
     assert N & (N - 1) == 0, "length must be a power of two"
-    _exchange.nk = nk
     trace = [] if record else None
     size = 2
     while size <= N:
@@ -106,7 +104,7 @@ def sort_planes(planes: Sequence[jax.Array], nk: int, record: bool = False):
             n_pairs = N // (2 * stride)
             pair_base = jnp.arange(n_pairs, dtype=I32) * (2 * stride)
             up = ((pair_base & size) == 0)[:, None]
-            planes, m = _exchange(planes, stride, up, record)
+            planes, m = _exchange(planes, stride, up, record, nk)
             if record:
                 trace.append((stride, m))
             stride //= 2
@@ -126,13 +124,12 @@ def merge_planes(planes_a, planes_b, nk: int, record: bool = False):
     planes_b = list(planes_b)
     N = planes_a[0].shape[0] + planes_b[0].shape[0]
     assert N & (N - 1) == 0, "total length must be a power of two"
-    _exchange.nk = nk
     trace = [] if record else None
     planes = [jnp.concatenate([a, b[::-1]]) for a, b in zip(planes_a, planes_b)]
     stride = N // 2
     while stride >= 1:
         up = jnp.ones((N // (2 * stride), 1), bool)
-        planes, m = _exchange(planes, stride, up, record)
+        planes, m = _exchange(planes, stride, up, record, nk)
         if record:
             trace.append((stride, m))
         stride //= 2

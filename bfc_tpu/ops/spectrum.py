@@ -318,14 +318,18 @@ def route_slot_requests(entries_local, slots, valid, axis_name: str,
                         n_dev: int, cap: int):
     """Fetch table entries for global slot ids via paired all_to_all.
 
-    Inside shard_map over `axis_name`.  slots: i32 [N] global slot ids
-    (entries_local covers [my*Sl, (my+1)*Sl)); valid: bool [N].
+    Inside shard_map over `axis_name`.  slots: i64 [N] global slot ids
+    (i64 end to end: human-scale sharded tables exceed 2^31 slots, and
+    an i32 wrap here would alias slots or drop requests WITHOUT setting
+    the overflow flag; entries_local covers [my*Sl, (my+1)*Sl));
+    valid: bool [N].
     Returns (entries u64 [N], overflow bool scalar): entries are 0 for
     invalid/dropped requests; overflow=True when any per-destination
     request bucket exceeded cap (callers must then treat the whole
     round's results as unusable and fall back)."""
     N = slots.shape[0]
     Sl = entries_local.shape[0]
+    slots = slots.astype(jnp.int64)
     dest = jnp.where(valid, slots // Sl, n_dev)
     # per-destination rank via n_dev dense cumsums (no sort, no gathers)
     send_pos = jnp.full((N,), n_dev * cap, jnp.int32)
@@ -335,14 +339,14 @@ def route_slot_requests(entries_local, slots, valid, axis_name: str,
         rank = jnp.cumsum(m.astype(jnp.int32)) - 1
         send_pos = jnp.where(m & (rank < cap), d * cap + rank, send_pos)
         overflow = overflow | (jnp.sum(m.astype(jnp.int32)) > cap)
-    buf = jnp.full((n_dev * cap,), -1, jnp.int32)
-    buf = buf.at[send_pos].set(slots.astype(jnp.int32), mode="drop")
+    buf = jnp.full((n_dev * cap,), -1, jnp.int64)
+    buf = buf.at[send_pos].set(slots, mode="drop")
     req = jax.lax.all_to_all(
         buf.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
         tiled=True,
     ).reshape(-1)
     my = jax.lax.axis_index(axis_name)
-    local = req - my.astype(jnp.int32) * Sl
+    local = req - my.astype(jnp.int64) * Sl
     ans = jnp.where(
         req >= 0,
         entries_local[jnp.clip(local, 0, Sl - 1)],
@@ -371,8 +375,8 @@ def sharded_cuckoo_lookup(table: ShardedCuckoo, q_shard, q_keybody,
     pk = posk64(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre, kb_bits)
     qlow = _id_low(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre,
                    kb_bits, c_bits)
-    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int32)
-    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int32)
+    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int64)
+    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int64)
     s2 = s1 ^ alt
     N = s1.shape[0]
     slots = jnp.concatenate([s1, s2])
@@ -415,9 +419,10 @@ def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
                   l_pre: int, kb_bits: int):
     """Batched payload lookup: two single-element gathers, no loop."""
     pk = posk64(q_shard, q_keybody, l_pre, kb_bits)
-    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int32)
+    # i64 slots: c_bits >= 32 (multi-billion-entry tables) must not wrap
+    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int64)
     qlow = _id_low(q_shard, q_keybody, l_pre, kb_bits, c_bits)
-    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int32)
+    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int64)
     s2 = s1 ^ alt
     e1 = table.entries[s1]
     e2 = table.entries[s2]

@@ -335,7 +335,6 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
     assert batch_reads % n_dev == 0
     k = opt.k
     l_pre = opt.effective_l_pre()
-    sh_d = NamedSharding(mesh, P("d"))
     agg = None
     cap = 1 << 18
     arrival_base = jnp.uint64(0)

@@ -111,8 +111,27 @@ def launch(nproc: int, argv: List[str], devices_per_host: Optional[int] = None,
             env=env,
             stdout=(stdout if pid == 0 else subprocess.DEVNULL),
         ))
+    import time
+
     try:
-        return max(p.wait() for p in procs)
+        # poll instead of serial wait(): a dead peer leaves survivors
+        # blocked inside a collective forever, and a serial wait would
+        # never reach the cleanup that kills them
+        rcs = [None] * nproc
+        deadline = None
+        while True:
+            for i, p in enumerate(procs):
+                if rcs[i] is None:
+                    rcs[i] = p.poll()
+            if all(rc is not None for rc in rcs):
+                return max(rcs)
+            if any(rc not in (None, 0) for rc in rcs):
+                # a worker failed; give the rest a grace period to exit
+                if deadline is None:
+                    deadline = time.time() + 30
+                elif time.time() > deadline:
+                    return max(rc for rc in rcs if rc is not None)
+            time.sleep(0.2)
     finally:
         for p in procs:
             if p.poll() is None:
