@@ -330,16 +330,76 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
     from ..opts import Opts
     from ..utils.log import log
 
+    import os
+
+    from ..ops import spectrum_host as sph
+
     mref = MeshRef(mesh)
     n_dev = mesh.shape["d"]
     assert batch_reads % n_dev == 0
     k = opt.k
     l_pre = opt.effective_l_pre()
-    agg = None
-    cap = 1 << 18
+    kb_bits = kops.keybody_bits(k, l_pre)
+    # per-device merge capacity: same HBM bound as the single-device
+    # tree; past it the binary counter LSM-spills complete spans to a
+    # host counter (see models.counter.AggBuilder)
+    max_dev_cap = int(os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22)))
+    levels = []       # binary counter of (sharded Aggregate, per-dev cap)
+    host_levels = []  # binary counter of HostAggs (LSM spill)
+    ccap = 1 << 18
     arrival_base = jnp.uint64(0)
     pad_L = 0
     n_reads = 0
+
+    def _to_host_agg(agg):
+        """Pull a prefix-sharded aggregate as a compact sorted HostAgg.
+
+        Device blocks are contiguous ascending shard-prefix ranges and
+        each block is sorted, so the concatenation (minus padding) is
+        globally sorted - merge_host_aggs' input contract."""
+        shard = to_host(agg.shard)
+        valid = shard != 0xFFFFFFFF
+        return sph.HostAgg(
+            shard[valid], to_host(agg.keybody)[valid],
+            to_host(agg.ret)[valid], to_host(agg.n)[valid],
+            to_host(agg.n_high)[valid], to_host(agg.first_arr)[valid],
+            to_host(agg.first_high)[valid],
+        )
+
+    def _host_push(ha):
+        i = 0
+        while i < len(host_levels) and host_levels[i] is not None:
+            ha = sph.merge_host_aggs(host_levels[i], ha, l_pre=l_pre,
+                                     kb_bits=kb_bits)  # older first
+            host_levels[i] = None
+            i += 1
+        if i == len(host_levels):
+            host_levels.append(None)
+        host_levels[i] = ha
+
+    def _merge_runs(a, b):
+        """Device merge with output-capacity doubling (a = earlier span)."""
+        cap = max(a[1], b[1])
+        while True:
+            merged, g2 = sharded_merge(a[0], b[0], cap, mref)
+            if int(jnp.max(g2)) <= cap:
+                return (merged, cap)
+            cap *= 2
+
+    def _spill(run):
+        """Drain the device counter + run to host (oldest span first)."""
+        import time
+
+        t0 = time.time()
+        for j in range(len(levels) - 1, -1, -1):
+            if levels[j] is not None:
+                _host_push(_to_host_agg(levels[j][0]))
+                levels[j] = None
+        if run is not None:
+            _host_push(_to_host_agg(run[0]))
+        log(f"spilled sharded counter to host in {time.time()-t0:.1f}s",
+            func="count_file_mesh")
+
     for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
         n = rb.n
         n_reads += n
@@ -362,23 +422,63 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         while True:
             chunk, g, ovf = sharded_chunk_aggregate(
                 bases_s, qok_s, lens_s, arrival_base, k, l_pre,
-                cap, batch_reads // n_dev * L, mref,
+                ccap, batch_reads // n_dev * L, mref,
             )
-            if agg is None:
-                merged, g2 = chunk, g
-            else:
-                merged, g2 = sharded_merge(agg, chunk, cap, mref)
-            if int(jnp.max(g2)) <= cap and not bool(ovf):
-                agg = merged
+            if int(jnp.max(g)) <= ccap and not bool(ovf):
                 break
-            cap *= 2  # per-device overflow: redo at doubled capacity
+            ccap *= 2  # per-device overflow: redo at doubled capacity
         arrival_base = arrival_base + jnp.uint64(batch_reads * L)
-    if agg is None:
+        # fold into the binary counter (older levels first)
+        run = (chunk, ccap)
+        i = 0
+        while i < len(levels) and levels[i] is not None:
+            if max(levels[i][1], run[1]) > max_dev_cap:
+                _spill(run)
+                run = None
+                break
+            run = _merge_runs(levels[i], run)
+            levels[i] = None
+            i += 1
+        if run is not None:
+            if i == len(levels):
+                levels.append(None)
+            levels[i] = run
+    log(f"processed {n_reads} sequences over {n_dev} devices",
+        func="count_file_mesh")
+    # drain the device counter (oldest first), spilling when too big
+    acc = None
+    for lvl in reversed(levels):
+        if lvl is None:
+            continue
+        if acc is None:
+            acc = lvl
+            continue
+        if max(acc[1], lvl[1]) > max_dev_cap:
+            _host_push(_to_host_agg(acc[0]))  # acc = older span
+            acc = lvl
+        else:
+            acc = _merge_runs(acc, lvl)
+    if any(x is not None for x in host_levels):
+        if acc is not None:
+            _host_push(_to_host_agg(acc[0]))
+        hacc = None
+        for ha in reversed(host_levels):  # oldest first
+            if ha is None:
+                continue
+            hacc = ha if hacc is None else sph.merge_host_aggs(
+                hacc, ha, l_pre=l_pre, kb_bits=kb_bits)
+        from ..models.counter import finalize_spectrum
+
+        log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
+            func="count_file_mesh")
+        ds = finalize_spectrum(hacc, opt)
+        ds.table = replicate_table(ds.table, mesh)
+        return ds
+    if acc is None:
         from ..models.counter import count_stream
 
         return count_stream(iter(()), opt)
-    log(f"processed {n_reads} sequences over {n_dev} devices",
-        func="count_file_mesh")
+    agg = acc[0]
     # adjudication events hash-route by Bloom bit; pathological skew can
     # overflow a destination bucket - retry with more slack instead of
     # aborting (graceful re-bucketing)
