@@ -239,6 +239,13 @@ class AggBuilder:
             os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22))
         )
         self.host_levels: List = []  # binary counter of HostAggs
+        # async spill worker: spills pull hundreds of MB and run big
+        # host merges; a single ordered background worker overlaps that
+        # with the device stream (numpy releases the GIL).  Queue depth
+        # 2 bounds how many spilled device runs stay alive in HBM.
+        self._spill_q = None
+        self._spill_thread = None
+        self._spill_err = None
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
         # aggregate never stalls the stream on a fresh merge compile
@@ -374,18 +381,50 @@ class AggBuilder:
             self.host_levels.append(None)
         self.host_levels[i] = ha
 
+    def _spill_worker(self):
+        while True:
+            item = self._spill_q.get()
+            if item is None:
+                return
+            try:
+                self._host_push(self._run_to_host(item))
+            except Exception as e:  # surfaced by _drain_spills
+                self._spill_err = e
+            finally:
+                self._spill_q.task_done()
+
+    def _enqueue_spill(self, run) -> None:
+        import queue
+        import threading
+
+        if self._spill_q is None:
+            self._spill_q = queue.Queue(maxsize=2)
+            self._spill_thread = threading.Thread(
+                target=self._spill_worker, daemon=True,
+                name="bfc-spill",
+            )
+            self._spill_thread.start()
+        self._spill_q.put(run)
+
+    def _drain_spills(self) -> None:
+        if self._spill_q is not None:
+            self._spill_q.join()
+        if self._spill_err is not None:
+            raise self._spill_err
+
     def _spill(self, run) -> None:
         """Drain the whole device counter + run into the host counter
-        (oldest span first, so host pushes stay in stream order)."""
+        (oldest span first - a single ordered worker queue preserves
+        the stream-span order merge_host_aggs requires)."""
         import time
 
         t0 = time.time()
         for j in range(len(self.levels) - 1, -1, -1):
             if self.levels[j] is not None:
-                self._host_push(self._run_to_host(self.levels[j]))
+                self._enqueue_spill(self.levels[j])
                 self.levels[j] = None
-        self._host_push(self._run_to_host(run))
-        log(f"spilled device counter to host in {time.time()-t0:.1f}s",
+        self._enqueue_spill(run)
+        log(f"queued device-counter spill in {time.time()-t0:.1f}s",
             func="AggBuilder")
 
     def _fold(self, pending) -> None:
@@ -423,6 +462,7 @@ class AggBuilder:
         if self._pending is not None:
             self._fold(self._pending)
             self._pending = None
+        self._drain_spills()
         acc = None
         for lvl in reversed(self.levels):  # oldest (highest level) first
             if lvl is None:
