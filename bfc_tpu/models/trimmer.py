@@ -164,11 +164,6 @@ class Trimmer:
         for rb in FR.iter_batches_prefetch(fn, batch_reads,
                                            max_bases=self.opt.chunk_size):
             n = rb.n
-            reads = [
-                Read(name=rb.name(i), comment=comments.get(rb, i), seq=rb.seq(i),
-                     qual=rb.qual(i))
-                for i in range(n)
-            ]
             # bucketed shapes: one device compile for the whole stream
             pad_L = max(pad_L, (int(rb.lens.max()) + 31) // 32 * 32)
             Lc = min(pad_L, rb.bases.shape[1])
@@ -176,6 +171,90 @@ class Trimmer:
             bases[:n, :Lc] = rb.bases[:, :Lc]
             lens = np.zeros((batch_reads,), np.int32)
             lens[:n] = rb.lens
-            self._apply(reads, bases, lens)
+            m = np.asarray(
+                max_streak_batch(
+                    self.bloom.words, jnp.asarray(bases), jnp.asarray(lens),
+                    self.opt.k, self.bloom.bf_shift, self.bloom.n_hashes,
+                )
+            )[:n]
+            if self._emit_native(rb, m, comments, out):
+                continue
+            reads = [
+                Read(name=rb.name(i), comment=comments.get(rb, i), seq=rb.seq(i),
+                     qual=rb.qual(i))
+                for i in range(n)
+            ]
+            self._apply_m(reads, m)
             for r in reads:
                 format_corrected(r, self.opt.no_qual, True, self.opt.discard, out)
+
+    def _emit_native(self, rb, m, comments, out) -> bool:
+        """Batch emit via the native trim formatter (the counterpart of
+        correct.c:596-611 in filter mode).  Falls back to the per-read
+        Python path for slow-parser batches, any comment in flight
+        (kseq stale-comment semantics need Python state), or any slice
+        that would rely on Python's negative/clamped slicing."""
+        import ctypes
+        import os
+
+        from ..native.build import get_lib
+
+        opt = self.opt
+        n = rb.n
+        lib = get_lib()
+        if (lib is None or rb._strings is not None or n == 0
+                or not hasattr(out, "write_bytes")
+                or os.environ.get("BFC_TPU_NO_NATIVE_WRITER")
+                or comments.stale is not None
+                or int(rb.comm_len[:n].max(initial=-1)) >= 0):
+            return False
+        streak = (m >> 32).astype(np.int64)
+        seqlen = rb.lens[:n].astype(np.float64)
+        keep = (streak > 0) & (
+            (streak + opt.k) / np.maximum(seqlen, 1) > self.min_frac32
+        )
+        start = ((m & 0xFFFFFFFF).astype(np.int64) - (opt.k - 1))
+        tlen = streak + opt.k - 1
+        bad = keep & ((start < 0) | (start + tlen > rb.lens[:n]))
+        if bad.any():
+            return False
+        is_fq = (rb.qual_off[:n] >= 0) & (not opt.no_qual)
+        mode = keep.astype(np.uint8) | (is_fq.astype(np.uint8) << 2)
+        name_off = np.ascontiguousarray(rb.name_off[:n], dtype=np.int64)
+        name_len = np.ascontiguousarray(rb.name_len[:n], dtype=np.int32)
+        seq_off = np.ascontiguousarray(rb.seq_off[:n], dtype=np.int64)
+        qual_off = np.ascontiguousarray(rb.qual_off[:n], dtype=np.int64)
+        start32 = np.ascontiguousarray(np.where(keep, start, 0), dtype=np.int32)
+        tlen32 = np.ascontiguousarray(np.where(keep, tlen, 0), dtype=np.int32)
+        cap = int((name_len.astype(np.int64) + 2 * tlen32 + 8).sum()) + 16
+        buf = ctypes.create_string_buffer(cap)
+
+        def p(arr, ct):
+            return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+        ret = lib.fastx_format_trim(
+            n, rb.buf,
+            p(name_off, ctypes.c_int64), p(name_len, ctypes.c_int32),
+            p(seq_off, ctypes.c_int64), p(qual_off, ctypes.c_int64),
+            p(start32, ctypes.c_int32), p(tlen32, ctypes.c_int32),
+            p(mode, ctypes.c_ubyte),
+            buf, cap,
+        )
+        if ret < 0:
+            return False
+        out.write_bytes(buf.raw[:ret])
+        return True
+
+    def _apply_m(self, reads: List[Read], m: np.ndarray) -> None:
+        opt = self.opt
+        for i, r in enumerate(reads):
+            streak = int(m[i]) >> 32
+            if streak and (streak + opt.k) / len(r.seq) > self.min_frac32:
+                start = (int(m[i]) & 0xFFFFFFFF) - (opt.k - 1)
+                end = start + streak + opt.k - 1
+                r.seq = r.seq[start:end]
+                if r.qual is not None:
+                    r.qual = r.qual[start:end]
+                r.aux = 0
+            else:
+                r.aux = 1

@@ -51,6 +51,16 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.fastx_format_trim.restype = ctypes.c_long
+        lib.fastx_format_trim.argtypes = [
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_char_p, ctypes.c_long,
+        ]
         lib.fastx_format.restype = ctypes.c_long
         lib.fastx_format.argtypes = [
             ctypes.c_long,

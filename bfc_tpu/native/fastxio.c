@@ -196,3 +196,42 @@ long fastx_format(
     }
     return (long)(p - outp);
 }
+
+/* Filter/trim-mode batch formatter (correct.c:596-611 with
+ * filter_mode semantics): kept reads emit name + the [start, start+len)
+ * substring of the ORIGINAL text; mode[i] bit0 = keep, bit2 = FASTQ.
+ * Comment-less records only (the caller falls back to Python when any
+ * read in the batch carries a comment).  Returns bytes written or -1
+ * on insufficient cap. */
+long fastx_format_trim(
+    long n,
+    const char *buf,
+    const int64_t *name_off, const int32_t *name_len,
+    const int64_t *seq_off, const int64_t *qual_off,
+    const int32_t *start, const int32_t *tlen,
+    const unsigned char *mode,
+    char *outp, long cap)
+{
+    char *p = outp, *end = outp + cap;
+    long i;
+    for (i = 0; i < n; i++) {
+        if (!(mode[i] & 1)) continue;            /* dropped */
+        int is_fq = (mode[i] >> 2) & 1;
+        long len = tlen[i];
+        if (p + name_len[i] + 2 * len + 8 > end) return -1;
+        *p++ = is_fq ? '@' : '>';
+        memcpy(p, buf + name_off[i], (size_t)name_len[i]);
+        p += name_len[i];
+        *p++ = '\n';
+        memcpy(p, buf + seq_off[i] + start[i], (size_t)len);
+        p += len;
+        *p++ = '\n';
+        if (is_fq) {
+            *p++ = '+'; *p++ = '\n';
+            memcpy(p, buf + qual_off[i] + start[i], (size_t)len);
+            p += len;
+            *p++ = '\n';
+        }
+    }
+    return (long)(p - outp);
+}
