@@ -17,6 +17,7 @@ Environment knobs:
   BENCH_K        k-mer length   [25]
   BENCH_BATCH    correction batch size [8192]
   BENCH_COUNT_BATCH  counting batch size [16384]
+  BENCH_REPEAT_FRAC  fraction of genome overwritten with repeats [0.1]
 """
 
 from __future__ import annotations
@@ -47,6 +48,16 @@ def main() -> int:
     sys.stderr.write(f"[bench] generating genome={glen} cov={cov}x len={rlen}\n")
     n_reads = glen * cov // rlen
     gcodes = rng.integers(0, 4, glen).astype(np.uint8)
+    # repeat structure: a uniform-random genome flatters the search's
+    # heap statistics (real genomes have repeats); overwrite
+    # BENCH_REPEAT_FRAC of the genome with copies of earlier segments
+    rep_frac = float(os.environ.get("BENCH_REPEAT_FRAC", "0.1"))
+    seg = 2000
+    n_rep = int(glen * rep_frac) // seg
+    for _ in range(n_rep):
+        src = int(rng.integers(0, glen - seg))
+        dst = int(rng.integers(0, glen - seg))
+        gcodes[dst : dst + seg] = gcodes[src : src + seg]
     starts = rng.integers(0, glen - rlen, n_reads)
     mat = gcodes[starts[:, None] + np.arange(rlen)[None, :]]
     rc = rng.random(n_reads) < 0.5
