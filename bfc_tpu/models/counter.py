@@ -225,7 +225,6 @@ class AggBuilder:
         self.n_id, self.n_planes, _ = sdn.run_layout(self.k, self.l_pre)
         self.backend = os.environ.get("BFC_TPU_DENSE_SORT", "lax")
         self.arrival_base = 0
-        self.levels: List = []   # binary counter; levels[i] = (planes, count)
         self._pending = None     # (device run planes at full cap, device count)
         self.n_batches = 0
         # LSM-style host spill: a cap-C device merge holds ~5*C*n_planes
@@ -238,14 +237,18 @@ class AggBuilder:
         self.max_dev_cap = int(
             os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22))
         )
-        self.host_levels: List = []  # binary counter of HostAggs
-        # async spill worker: spills pull hundreds of MB and run big
-        # host merges; a single ordered background worker overlaps that
-        # with the device stream (numpy releases the GIL).  Queue depth
-        # 2 bounds how many spilled device runs stay alive in HBM.
-        self._spill_q = None
-        self._spill_thread = None
-        self._spill_err = None
+        from ..ops import spectrum_host as sph
+        from ..ops.lsm import LsmTree
+
+        kb_bits = kops.keybody_bits(self.k, self.l_pre)
+        self.tree = LsmTree(
+            merge=self._merge_bounded,
+            to_host=self._run_to_host,
+            host_merge=lambda a, b: sph.merge_host_aggs(
+                a, b, l_pre=self.l_pre, kb_bits=kb_bits),
+            async_spill=True,  # plain pulls + numpy merges: thread-safe
+            name="AggBuilder",
+        )
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
         # aggregate never stalls the stream on a fresh merge compile
@@ -334,6 +337,13 @@ class AggBuilder:
 
     await_ladder = staticmethod(await_merge_ladder)
 
+    def _merge_bounded(self, a, b):
+        """LsmTree merge callback: None when the merge would exceed the
+        per-device HBM cap (the tree then spills to the host counter)."""
+        if max(a[0][0].shape[0], b[0][0].shape[0]) > self.max_dev_cap:
+            return None
+        return self._merge(a, b)
+
     def _merge(self, a, b):
         """Merge two (planes, count) runs; a must be the earlier span."""
         import os
@@ -366,67 +376,6 @@ class AggBuilder:
             [np.asarray(p) for p in sliced], cnt, self.k, self.l_pre
         )
 
-    def _host_push(self, ha) -> None:
-        """Binary-counter push into the host merge tree (ha = newest)."""
-        from ..ops import spectrum_host as sph
-
-        kb_bits = kops.keybody_bits(self.k, self.l_pre)
-        i = 0
-        while i < len(self.host_levels) and self.host_levels[i] is not None:
-            ha = sph.merge_host_aggs(self.host_levels[i], ha,  # older first
-                                     l_pre=self.l_pre, kb_bits=kb_bits)
-            self.host_levels[i] = None
-            i += 1
-        if i == len(self.host_levels):
-            self.host_levels.append(None)
-        self.host_levels[i] = ha
-
-    def _spill_worker(self):
-        while True:
-            item = self._spill_q.get()
-            if item is None:
-                return
-            try:
-                self._host_push(self._run_to_host(item))
-            except Exception as e:  # surfaced by _drain_spills
-                self._spill_err = e
-            finally:
-                self._spill_q.task_done()
-
-    def _enqueue_spill(self, run) -> None:
-        import queue
-        import threading
-
-        if self._spill_q is None:
-            self._spill_q = queue.Queue(maxsize=2)
-            self._spill_thread = threading.Thread(
-                target=self._spill_worker, daemon=True,
-                name="bfc-spill",
-            )
-            self._spill_thread.start()
-        self._spill_q.put(run)
-
-    def _drain_spills(self) -> None:
-        if self._spill_q is not None:
-            self._spill_q.join()
-        if self._spill_err is not None:
-            raise self._spill_err
-
-    def _spill(self, run) -> None:
-        """Drain the whole device counter + run into the host counter
-        (oldest span first - a single ordered worker queue preserves
-        the stream-span order merge_host_aggs requires)."""
-        import time
-
-        t0 = time.time()
-        for j in range(len(self.levels) - 1, -1, -1):
-            if self.levels[j] is not None:
-                self._enqueue_spill(self.levels[j])
-                self.levels[j] = None
-        self._enqueue_spill(run)
-        log(f"queued device-counter spill in {time.time()-t0:.1f}s",
-            func="AggBuilder")
-
     def _fold(self, pending) -> None:
         import os
         import time
@@ -438,20 +387,7 @@ class AggBuilder:
         gi = run[1]
         if self.n_batches == 0:
             self._prefetch_ladder(self._bucket(gi))
-        i = 0
-        while i < len(self.levels) and self.levels[i] is not None:
-            cap_need = max(self.levels[i][0][0].shape[0], run[0][0].shape[0])
-            if cap_need > self.max_dev_cap:
-                self._spill(run)
-                run = None
-                break
-            run = self._merge(self.levels[i], run)  # older first
-            self.levels[i] = None
-            i += 1
-        if run is not None:
-            if i == len(self.levels):
-                self.levels.append(None)
-            self.levels[i] = run
+        self.tree.push(run)
         self.n_batches += 1
         log(f"aggregated batch {self.n_batches}: {gi} distinct in chunk",
             func="AggBuilder")
@@ -462,37 +398,11 @@ class AggBuilder:
         if self._pending is not None:
             self._fold(self._pending)
             self._pending = None
-        self._drain_spills()
-        acc = None
-        for lvl in reversed(self.levels):  # oldest (highest level) first
-            if lvl is None:
-                continue
-            if acc is None:
-                acc = lvl
-                continue
-            cap_need = max(acc[0][0].shape[0], lvl[0][0].shape[0])
-            if cap_need > self.max_dev_cap:
-                self._host_push(self._run_to_host(acc))  # acc = older span
-                acc = lvl
-            else:
-                acc = self._merge(acc, lvl)
-        self.levels = []
+        acc, hacc = self.tree.finish()
         # the compile pool and executable cache are process-global and
         # deliberately survive this builder: a warm-up pass's ladder
         # compiles must be reusable by the next stream
-        has_host = any(x is not None for x in self.host_levels)
-        if acc is not None and has_host:
-            self._host_push(self._run_to_host(acc))
-            acc = None
-        if has_host:
-            hacc = None
-            for ha in reversed(self.host_levels):  # oldest first
-                if ha is None:
-                    continue
-                hacc = ha if hacc is None else sph.merge_host_aggs(
-                    hacc, ha, l_pre=self.l_pre,
-                    kb_bits=kops.keybody_bits(self.k, self.l_pre))
-            self.host_levels = []
+        if hacc is not None:
             log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
                 func="AggBuilder")
             return hacc

@@ -137,24 +137,13 @@ class Trimmer:
         self._apply(reads, bases, lens)
 
     def _apply(self, reads: List[Read], bases, lens) -> None:
-        opt = self.opt
         m = np.asarray(
             max_streak_batch(
                 self.bloom.words, jnp.asarray(bases), jnp.asarray(lens),
-                opt.k, self.bloom.bf_shift, self.bloom.n_hashes,
+                self.opt.k, self.bloom.bf_shift, self.bloom.n_hashes,
             )
         )
-        for i, r in enumerate(reads):
-            streak = int(m[i]) >> 32
-            if streak and (streak + opt.k) / len(r.seq) > self.min_frac32:
-                start = (int(m[i]) & 0xFFFFFFFF) - (opt.k - 1)
-                end = start + streak + opt.k - 1
-                r.seq = r.seq[start:end]
-                if r.qual is not None:
-                    r.qual = r.qual[start:end]
-                r.aux = 0
-            else:
-                r.aux = 1
+        self._apply_m(reads, m)
 
     def trim_file(self, fn: str, out: List[str], batch_reads: int = 8192) -> None:
         from ..io import fast_reader as FR

@@ -344,8 +344,6 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
     # tree; past it the binary counter LSM-spills complete spans to a
     # host counter (see models.counter.AggBuilder)
     max_dev_cap = int(os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22)))
-    levels = []       # binary counter of (sharded Aggregate, per-dev cap)
-    host_levels = []  # binary counter of HostAggs (LSM spill)
     ccap = 1 << 18
     arrival_base = jnp.uint64(0)
     pad_L = 0
@@ -366,39 +364,32 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
             to_host(agg.first_high)[valid],
         )
 
-    def _host_push(ha):
-        i = 0
-        while i < len(host_levels) and host_levels[i] is not None:
-            ha = sph.merge_host_aggs(host_levels[i], ha, l_pre=l_pre,
-                                     kb_bits=kb_bits)  # older first
-            host_levels[i] = None
-            i += 1
-        if i == len(host_levels):
-            host_levels.append(None)
-        host_levels[i] = ha
-
     def _merge_runs(a, b):
-        """Device merge with output-capacity doubling (a = earlier span)."""
+        """LsmTree merge callback: device merge with output-capacity
+        doubling (a = earlier span); None once the union would need a
+        merge beyond the per-device HBM cap -> the tree spills."""
         cap = max(a[1], b[1])
+        if cap > max_dev_cap:
+            return None
         while True:
             merged, g2 = sharded_merge(a[0], b[0], cap, mref)
             if int(jnp.max(g2)) <= cap:
                 return (merged, cap)
             cap *= 2
+            if cap > max_dev_cap:
+                return None
 
-    def _spill(run):
-        """Drain the device counter + run to host (oldest span first)."""
-        import time
+    from ..ops.lsm import LsmTree
 
-        t0 = time.time()
-        for j in range(len(levels) - 1, -1, -1):
-            if levels[j] is not None:
-                _host_push(_to_host_agg(levels[j][0]))
-                levels[j] = None
-        if run is not None:
-            _host_push(_to_host_agg(run[0]))
-        log(f"spilled sharded counter to host in {time.time()-t0:.1f}s",
-            func="count_file_mesh")
+    tree = LsmTree(
+        merge=_merge_runs,
+        to_host=lambda run: _to_host_agg(run[0]),
+        host_merge=lambda a, b: sph.merge_host_aggs(
+            a, b, l_pre=l_pre, kb_bits=kb_bits),
+        async_spill=False,  # to_host allgathers: collectives stay on the
+                            # main thread in identical order on every host
+        name="count_file_mesh",
+    )
 
     for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
         n = rb.n
@@ -428,45 +419,11 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
                 break
             ccap *= 2  # per-device overflow: redo at doubled capacity
         arrival_base = arrival_base + jnp.uint64(batch_reads * L)
-        # fold into the binary counter (older levels first)
-        run = (chunk, ccap)
-        i = 0
-        while i < len(levels) and levels[i] is not None:
-            if max(levels[i][1], run[1]) > max_dev_cap:
-                _spill(run)
-                run = None
-                break
-            run = _merge_runs(levels[i], run)
-            levels[i] = None
-            i += 1
-        if run is not None:
-            if i == len(levels):
-                levels.append(None)
-            levels[i] = run
+        tree.push((chunk, ccap))
     log(f"processed {n_reads} sequences over {n_dev} devices",
         func="count_file_mesh")
-    # drain the device counter (oldest first), spilling when too big
-    acc = None
-    for lvl in reversed(levels):
-        if lvl is None:
-            continue
-        if acc is None:
-            acc = lvl
-            continue
-        if max(acc[1], lvl[1]) > max_dev_cap:
-            _host_push(_to_host_agg(acc[0]))  # acc = older span
-            acc = lvl
-        else:
-            acc = _merge_runs(acc, lvl)
-    if any(x is not None for x in host_levels):
-        if acc is not None:
-            _host_push(_to_host_agg(acc[0]))
-        hacc = None
-        for ha in reversed(host_levels):  # oldest first
-            if ha is None:
-                continue
-            hacc = ha if hacc is None else sph.merge_host_aggs(
-                hacc, ha, l_pre=l_pre, kb_bits=kb_bits)
+    acc, hacc = tree.finish()
+    if hacc is not None:
         from ..models.counter import finalize_spectrum
 
         log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",

@@ -72,3 +72,24 @@ def test_device_lookup_matches_model(dataset):
     got = np.asarray(ds.lookup_hash(h0s, h1s))
     want = np.array([q[2] for q in queries], np.int32)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_single_device_lsm_spill_byte_exact(tmp_path, monkeypatch):
+    """Force the single-device async LSM spill (worker thread + host
+    merge tree) every couple of batches; output must stay byte-identical
+    to the reference."""
+    from bfc_tpu.models import device_pipeline as DP
+
+    from . import datagen, oracle
+
+    monkeypatch.setenv("BFC_TPU_MAX_MERGE_CAP", str(1 << 15))
+    fq = datagen.standard_dataset(
+        str(tmp_path), genome_len=6000, n_reads=1600, name="sp.fq"
+    )
+    ref_out, _ = oracle.run_bfc(["-k17", "-b22", "-t1", fq])
+    opt = Opts()
+    opt.k = 17
+    opt.bf_shift = 22
+    mine = DP.run_device(opt, fq, batch_reads=256)
+    assert mine.encode() == ref_out
