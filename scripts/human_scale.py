@@ -38,7 +38,7 @@ def dev_mem_gb() -> str:
         return "n/a"
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=float, default=10e6)
     ap.add_argument("--genome", type=float, default=100e6)
@@ -51,7 +51,7 @@ def main() -> int:
                     help="reads to push through correction (full set takes "
                          "hours; throughput is batch-stationary)")
     ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
 
