@@ -15,6 +15,23 @@ device mesh by hash-prefix sharding with all-to-all k-mer shuffles.
 
 import os as _os
 
+# glibc malloc tuning, applied before numpy/jax allocate anything big:
+# on this class of VM (Firecracker/uffd paging) a first-touch page
+# fault costs ~100-300 us, and glibc's default mmap threshold makes
+# every large numpy temporary a fresh mmap that is returned to the OS
+# on free - so EVERY multi-MB host pass re-pays the fault storm.
+# Keeping large blocks on the heap free list (huge mmap threshold,
+# never trim) pays the faults once per process; measured 3-10x on the
+# host finalize/merge passes (a 5M-row adjudicate: 25 s -> 4 s).
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)       # M_MMAP_THRESHOLD: 1 GiB
+    _libc.mallopt(-1, 0x7FFFFFFF)    # M_TRIM_THRESHOLD: never trim
+except Exception:  # non-glibc platform: harmless
+    pass
+
 import jax
 
 # The k-mer/hash pipeline is 64-bit integer arithmetic end to end; the
