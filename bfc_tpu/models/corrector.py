@@ -43,6 +43,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
     import os
 
     ff_step = int(os.environ.get("BFC_TPU_FF_STEP", "63"))
+    fused = os.environ.get("BFC_TPU_FUSED_DIRS", "1") == "1"
     return srch.SearchConfig(
         k=opt.k, min_cov=opt.min_cov, win_multi_ec=opt.win_multi_ec,
         max_end_ext=opt.max_end_ext, w_ec=opt.w_ec, w_ec_high=opt.w_ec_high,
@@ -50,7 +51,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
         max_path_diff=opt.max_path_diff, max_heap=opt.max_heap,
         heap_cap=128, stack_cap=stack_cap, iter_cap=iter_cap,
         s_bits=ds.s_bits, l_pre=ds.l_pre, kb_bits=ds.kb_bits,
-        packed=ds.packed, ff_step=ff_step,
+        packed=ds.packed, ff_step=ff_step, fused_dirs=fused,
     )
 
 
@@ -153,12 +154,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
             & (idx[None, :] < fix_pos[:, None] + k)
         )
         win_f = (w_cnthi, w_abs, w_absh, ff_ok)
-    # ---- forward direction over [start, n)
-    ec0, na0, rv0, mh0, ov0, it0 = srch.ec1dir_batch(
-        table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start, searchable,
-        win_bits=win_f, soft_cap=soft_cap,
-    )
-    # ---- reverse-complement direction over [n-end, n)
+    # ---- reverse-complement direction inputs over [n-end, n)
     # Per-row reversal out[b,j] = in[b, lens[b]-1-j].  XLA serializes
     # the [B,L]-indexed gather per element (~90ns each => ~25ms/batch
     # for the 5 reversals at B=2048); for short rows a one-hot bf16
@@ -200,11 +196,48 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         win_r = tuple(
             jnp.concatenate([ones, a], axis=1)[:, :L] > 0 for a in rbits
         )
+    if cfg.fused_dirs:
+        # ---- both directions as ONE [2B]-lane lockstep loop.  Legal
+        # because direction 2 reads only pre-search inputs; its outputs
+        # for lanes whose forward pass failed (~ok0) are discarded below
+        # exactly as the reference never runs them (correct.c:429-431),
+        # so the output bytes are identical.  The win: the per-trip
+        # fixed overhead of the while loop is paid once per batch, not
+        # once per direction (see PLAN.md's measured cost model).
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        win_cat = (
+            tuple(cat(a, b) for a, b in zip(win_f, win_r))
+            if win_f is not None else None
+        )
+        ecC, naC, rvC, mhC, ovC, itC = srch.ec1dir_batch(
+            table, cfg, cat(seq_fix, seq_r), cat(seq_q, q_r),
+            cat(seq_q, q_r), cat(lcov, lcov_r), cat(hcov, hcov_r),
+            cat(lens, lens), cat(start, start_r),
+            cat(searchable, searchable), win_bits=win_cat,
+            soft_cap=soft_cap,
+        )
+        ec0, ec1r = ecC[:B], ecC[B:]
+        na0, na1 = naC[:B], naC[B:]
+        rv0, rv1 = rvC[:B], rvC[B:]
+        mh0, mh1 = mhC[:B], mhC[B:]
+        ov0, ov1 = ovC[:B], ovC[B:]
+        it0 = it1 = itC
+    else:
+        # ---- forward direction over [start, n)
+        ec0, na0, rv0, mh0, ov0, it0 = srch.ec1dir_batch(
+            table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start,
+            searchable, win_bits=win_f, soft_cap=soft_cap,
+        )
+        ok0_ = searchable & (rv0 >= 0) & ~ov0
+        ec1r, na1, rv1, mh1, ov1, it1 = srch.ec1dir_batch(
+            table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r,
+            ok0_, win_bits=win_r, soft_cap=soft_cap,
+        )
     ok0 = searchable & (rv0 >= 0) & ~ov0
-    ec1r, na1, rv1, mh1, ov1, it1 = srch.ec1dir_batch(
-        table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r, ok0,
-        win_bits=win_r, soft_cap=soft_cap,
-    )
+    # direction-2 results for ~ok0 lanes are discarded here: ok1 gates
+    # every merged output, and failed-read stats are zeroed at pack time
+    # (finalize_batch_arrays), so fused-mode garbage in na1/mh1/rv1 for
+    # those lanes never reaches the output bytes
     ok1 = ok0 & (rv1 >= 0) & ~ov1
     # flip direction-2 output back (complement bases < 4)
     if use_mxu:
@@ -238,8 +271,11 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     ec_code = jnp.where(no_solid, ECCODE_NO_SOLID, ec_code)
     ec_code = jnp.where(many_n, ECCODE_MANY_N, ec_code)
     # routing-bucket overflows poison the whole local batch's lookups:
-    # push every read to the exact scalar fallback (rare; capacity 2x)
-    overflow = ((ov0 | ov1) & searchable) | kovf | g_ovf
+    # push every read to the exact scalar fallback (rare; capacity 2x).
+    # ov1 is masked by ok0: a fused-mode direction-2 overflow on a lane
+    # whose forward pass already failed is discarded, matching the
+    # non-fused path where direction 2 never runs there
+    overflow = ((ov0 | (ov1 & ok0)) & searchable) | kovf | g_ovf
     return dict(
         final_b=final_b, is_diff=is_diff, ob=ob, q=seq_q,
         ec_code=ec_code, brute=greedy_ok.astype(I32),

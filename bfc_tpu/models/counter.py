@@ -393,12 +393,17 @@ class AggBuilder:
             func="AggBuilder")
 
     def finish(self):
+        import time
+
         from ..ops import spectrum_host as sph
 
         if self._pending is not None:
             self._fold(self._pending)
             self._pending = None
+        t0 = time.time()
         acc, hacc = self.tree.finish()
+        log(f"counting tree finish: {time.time() - t0:.1f}s",
+            func="AggBuilder")
         # the compile pool and executable cache are process-global and
         # deliberately survive this builder: a warm-up pass's ladder
         # compiles must be reusable by the next stream
@@ -520,13 +525,19 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
     k = opt.k
     l_pre = opt.effective_l_pre()
     if host:
+        import time
+
         from ..ops import spectrum_host as sph
 
+        t0 = time.time()
         shard_c, keybody_c, payload_c, hist, hist_high = sph.finalize_host(
             agg, opt.bf_shift, opt.n_hashes
         )
-        log(f"# distinct k-mers in table: {len(shard_c)}")
-        return _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre)
+        t1 = time.time()
+        ds = _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre)
+        log(f"# distinct k-mers in table: {len(shard_c)} "
+            f"(adjudicate {t1 - t0:.1f}s, table {time.time() - t1:.1f}s)")
+        return ds
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
         agg, opt.bf_shift, opt.n_hashes
     )

@@ -59,6 +59,18 @@ class LsmTree:
     # -- async spill worker ----------------------------------------------
 
     def _worker(self) -> None:
+        # deprioritize: on this host every axon device dispatch rides a
+        # local terminal process, so host CPU contention from the spill
+        # merges directly slows the DEVICE stream (measured ~3-8x on
+        # batch cadence).  A niced worker only uses cycles the stream
+        # leaves idle; the final drain runs with the device idle anyway.
+        try:
+            import os
+            import threading
+
+            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 15)
+        except Exception:
+            pass
         while True:
             item = self._q.get()
             if item is None:
@@ -133,7 +145,11 @@ class LsmTree:
     def finish(self):
         """Drain everything -> (device_run | None, host_agg | None);
         at most one is non-None."""
+        import time
+
+        t0 = time.time()
         self._drain()
+        t_drain = time.time() - t0
         acc = None
         for lvl in reversed(self.levels):  # oldest (highest level) first
             if lvl is None:
@@ -152,10 +168,15 @@ class LsmTree:
         if has_host and acc is not None:
             self._host_push(self.to_host(acc))
             acc = None
+        t1 = time.time()
         hacc = None
         for ha in reversed(self.host_levels):  # oldest first
             if ha is None:
                 continue
             hacc = ha if hacc is None else self.host_merge(hacc, ha)
         self.host_levels = []
+        if has_host:
+            log(f"finish: drain {t_drain:.1f}s, device spill "
+                f"{t1 - t0 - t_drain:.1f}s, host chain {time.time() - t1:.1f}s",
+                func=self.name)
         return acc, hacc

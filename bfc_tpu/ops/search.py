@@ -79,6 +79,12 @@ class SearchConfig(NamedTuple):
     # routed by paired all_to_all): empty axis_name = single-device
     axis_name: str = ""
     n_dev: int = 1
+    # run both search directions as ONE lockstep loop over [2B] lanes
+    # (directions are data-independent: the reverse pass reads only the
+    # pre-search seq_fix/coverage rows, and its outputs are discarded
+    # for lanes whose forward pass failed) - pays the per-trip fixed
+    # overhead once instead of twice per batch
+    fused_dirs: bool = True
 
 
 def _he_pack(pen, zi, zk):

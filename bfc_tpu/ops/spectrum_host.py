@@ -14,6 +14,10 @@ import numpy as np
 
 from ..opts import BFC_BLK_SHIFT
 
+# adjudicate_np switches to partitioned thread-pool sorting above this
+# many packed keys (tests lower it to cover the parallel path)
+_PAR_MIN = 1 << 22
+
 
 class HostAgg(NamedTuple):
     """Host-resident per-distinct-k-mer aggregate (compact, sorted by
@@ -39,7 +43,7 @@ def empty_host_agg() -> HostAgg:
 
 
 def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
-                    kb_bits: int = None) -> HostAgg:
+                    kb_bits: int = None, parallel: bool = True) -> HostAgg:
     """Merge two sorted aggregates; `a` must cover the EARLIER stream span.
 
     Duplicate keys combine: occurrence counts add (saturating at u32),
@@ -47,7 +51,10 @@ def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
     equal b-entries).  When l_pre/kb_bits are given and the identity
     fits 64 bits (k <= 32), both inputs being sorted lets a linear
     searchsorted merge replace the O(n log n) lexsort - the hot path of
-    the LSM host spill at tens of millions of rows."""
+    the LSM host spill at tens of millions of rows.  Big fast-path
+    merges split into disjoint key ranges merged on a thread pool
+    (equal keys land in the same range on both sides, so the
+    a-before-b first-occurrence order is preserved range-locally)."""
     if len(a.shard) == 0:
         return b
     if len(b.shard) == 0:
@@ -57,6 +64,36 @@ def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
         l_pre is not None and kb_bits is not None
         and 64 - l_pre - kb_bits >= 0
     )
+    if fast and parallel and na + nb >= _PAR_MIN:
+        import os as _os
+
+        nth = min(4, _os.cpu_count() or 1)
+        if nth > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            kbv = posk64_np(b.shard, b.keybody, l_pre, kb_bits)
+            ka = posk64_np(a.shard, a.keybody, l_pre, kb_bits)
+            splits = kbv[np.linspace(0, nb, nth, endpoint=False)[1:]
+                         .astype(np.int64)]
+            ao = np.concatenate(
+                [[0], np.searchsorted(ka, splits, side="left"), [na]]
+            ).astype(np.int64)
+            bo = np.concatenate(
+                [[0], np.searchsorted(kbv, splits, side="left"), [nb]]
+            ).astype(np.int64)
+
+            def part(i):
+                return merge_host_aggs(
+                    HostAgg(*(f[ao[i]:ao[i + 1]] for f in a)),
+                    HostAgg(*(f[bo[i]:bo[i + 1]] for f in b)),
+                    l_pre=l_pre, kb_bits=kb_bits, parallel=False,
+                )
+
+            with ThreadPoolExecutor(max_workers=nth) as pool:
+                parts = list(pool.map(part, range(nth)))
+            return HostAgg(
+                *(np.concatenate(cols) for cols in zip(*parts))
+            )
     if fast:
         ka = posk64_np(a.shard, a.keybody, l_pre, kb_bits)
         kbv = posk64_np(b.shard, b.keybody, l_pre, kb_bits)
@@ -152,19 +189,51 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
             (bits << np.uint64(a_bits)) | first_arr[:, None],
             sent,
         ).reshape(-1)
-        order = np.argsort(key, kind="stable")  # radix path for ints
-        kv = key[order]
-        ka = kv & np.uint64((1 << a_bits) - 1)
-        seg_first = np.empty(len(kv), bool)
-        seg_first[0] = True
-        seg_first[1:] = (kv[1:] >> np.uint64(a_bits)) != (kv[:-1] >> np.uint64(a_bits))
-        # arrival at each element's segment start (the segment minimum,
-        # since arrivals sort ascending inside a fixed-bit segment)
-        idx = np.arange(len(kv), dtype=np.int64)
-        start_idx = np.maximum.accumulate(np.where(seg_first, idx, 0))
-        was_set = (ka > ka[start_idx]) & (kv != sent)
-        hit = np.empty(len(kv), bool)
-        hit[order] = was_set
+        hit = np.empty(len(key), bool)
+
+        def _verdict(keys, sel=None):
+            order = np.argsort(keys, kind="stable")  # radix path for ints
+            kv = keys[order]
+            ka = kv & np.uint64((1 << a_bits) - 1)
+            seg_first = np.empty(len(kv), bool)
+            seg_first[0] = True
+            seg_first[1:] = (
+                (kv[1:] >> np.uint64(a_bits)) != (kv[:-1] >> np.uint64(a_bits))
+            )
+            # arrival at each element's segment start (the segment
+            # minimum: arrivals sort ascending inside a fixed-bit segment)
+            idx = np.arange(len(kv), dtype=np.int64)
+            start_idx = np.maximum.accumulate(np.where(seg_first, idx, 0))
+            was_set = (ka > ka[start_idx]) & (kv != sent)
+            if sel is None:
+                hit[order] = was_set
+            else:
+                hit[sel[order]] = was_set
+
+        # big aggregates: partition by a bit-id prefix and sort the
+        # partitions on a thread pool (numpy sorts release the GIL, and
+        # four 1/4-size sorts beat one big one even serially).  Segments
+        # are keyed by the full bit id, so a prefix partition never
+        # splits one; sentinel keys (all-ones) land in the last bucket.
+        import os as _os
+
+        nth = min(4, _os.cpu_count() or 1)
+        if len(key) >= _PAR_MIN and nth > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pb = 2
+            shift = np.uint64(a_bits + bf_shift + 1 - pb)
+            bucket = np.minimum(key >> shift, np.uint64((1 << pb) - 1))
+            with ThreadPoolExecutor(max_workers=nth) as pool:
+                futs = []
+                for b in range(1 << pb):
+                    sel = np.flatnonzero(bucket == np.uint64(b))
+                    if sel.size:
+                        futs.append(pool.submit(_verdict, key[sel], sel))
+                for f in futs:
+                    f.result()
+        else:
+            _verdict(key)
         return hit.reshape(C, H).all(axis=1) & valid
     flat_bits = bits.reshape(-1)
     flat_arr = np.repeat(first_arr, H)
