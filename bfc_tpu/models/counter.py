@@ -362,18 +362,33 @@ class AggBuilder:
                 f"in {time.time() - t0:.2f}s", func="AggBuilder")
         return out
 
-    def _run_to_host(self, run):
-        """Pull a device run to a HostAgg (async-first plane transfers)."""
-        planes, cnt = run
+    def _pull_run(self, planes, cnt):
+        """Device run -> host planes with async-first transfers.
+
+        The first_arr high-u32 plane is identically zero while the
+        stream holds < 2^32 bases (arrival_base is a host-side running
+        total, so this is exact at pull time) - skip its transfer and
+        substitute zeros: one less plane over the tunnel (~17% of the
+        final-pull bytes in the common case)."""
+        skip = self.n_id if self.arrival_base <= 0xFFFFFFFF else -1
         sliced = [p[:cnt] for p in planes]
-        jax.block_until_ready(sliced)
-        for p in sliced:
+        wait = [p for i, p in enumerate(sliced) if i != skip]
+        jax.block_until_ready(wait)
+        for p in wait:
             try:
                 p.copy_to_host_async()
             except Exception:
                 break
+        return [
+            np.zeros((cnt,), np.uint32) if i == skip else np.asarray(p)
+            for i, p in enumerate(sliced)
+        ]
+
+    def _run_to_host(self, run):
+        """Pull a device run to a HostAgg (async-first plane transfers)."""
+        planes, cnt = run
         return self.sdn.run_to_host_agg(
-            [np.asarray(p) for p in sliced], cnt, self.k, self.l_pre
+            self._pull_run(planes, cnt), cnt, self.k, self.l_pre
         )
 
     def _fold(self, pending) -> None:
@@ -418,15 +433,9 @@ class AggBuilder:
         # the single device->host pull of the whole counting pass; start
         # every plane's transfer before materializing any (the tunnel
         # serializes synchronous pulls at ~30ms+size each)
-        sliced = [p[:count] for p in planes]
-        jax.block_until_ready(sliced)
-        for p in sliced:
-            try:
-                p.copy_to_host_async()
-            except Exception:
-                break
-        host_planes = [np.asarray(p) for p in sliced]
-        return self.sdn.run_to_host_agg(host_planes, count, self.k, self.l_pre)
+        return self.sdn.run_to_host_agg(
+            self._pull_run(planes, count), count, self.k, self.l_pre
+        )
 
 
 def count_stream_aggregate(

@@ -93,3 +93,33 @@ def test_single_device_lsm_spill_byte_exact(tmp_path, monkeypatch):
     opt.bf_shift = 22
     mine = DP.run_device(opt, fq, batch_reads=256)
     assert mine.encode() == ref_out
+
+
+def test_pull_run_carries_high_arrival_plane():
+    """_pull_run skips the first_arr high-u32 plane only while it is
+    provably zero (stream < 2^32 bases); past that it must transfer it."""
+    import numpy as np
+
+    from bfc_tpu.models.counter import AggBuilder
+    from bfc_tpu.ops import kmer as kops
+
+    opt = Opts()
+    opt.k = 17
+    opt.bf_shift = 22
+    b = AggBuilder(opt)
+    seqs = ["ACGTACGTACGTACGTACGTA"] * 4
+    bases, qok, lens = kops.encode_batch(seqs, None, opt.q, pad_to=32)
+    b.add(bases, qok, lens)
+    planes, g = b._pending
+    cnt = int(g)
+    direct = [np.asarray(p[:cnt]).copy() for p in planes]
+    # below the threshold: the a_hi plane substitutes zeros (and the
+    # real plane is zero anyway, so the HostAgg is unchanged)
+    got = b._pull_run(planes, cnt)
+    for i, (d, h) in enumerate(zip(direct, got)):
+        np.testing.assert_array_equal(d, h, err_msg=f"plane {i}")
+    # above the threshold: every plane must come from the device
+    b.arrival_base = 1 << 33
+    got_hi = b._pull_run(planes, cnt)
+    for i, (d, h) in enumerate(zip(direct, got_hi)):
+        np.testing.assert_array_equal(d, h, err_msg=f"plane {i}")
