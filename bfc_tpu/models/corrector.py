@@ -593,9 +593,12 @@ class Corrector:
             sarr = np.asarray(todo)
             for off in range(0, len(sarr), s_chunk):
                 sel = sarr[off : off + s_chunk]
+                # min_b pins the device shape to s_chunk: a short last
+                # chunk must not compile a fresh smaller program
                 ctx = self.dispatch_arrays(
                     bases0[sel], rawq0[sel], lens0[sel], has_q[sel],
                     lambda j, sel=sel: text_of(int(sel[j])),
+                    min_b=s_chunk,
                 )
                 land(ctx, sel)
         if as_arrays and win is not None:
@@ -603,7 +606,7 @@ class Corrector:
         return results
 
     def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of,
-                        soft: bool = False):
+                        soft: bool = False, min_b: int = 256):
         """Launch the device step for an encoded batch WITHOUT blocking.
 
         The returned context is finished by finalize_batch; keeping one
@@ -629,7 +632,7 @@ class Corrector:
         self._pad_L = max(getattr(self, "_pad_L", 0), L)
         L = self._pad_L
         B = 256
-        while B < n:
+        while B < max(n, min_b):  # power of two: mesh divisibility
             B *= 2
         Lc = min(L, L0)
         bases = np.full((B, L), 4, np.uint8)
