@@ -44,6 +44,8 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
 
     ff_step = int(os.environ.get("BFC_TPU_FF_STEP", "63"))
     fused = os.environ.get("BFC_TPU_FUSED_DIRS", "1") == "1"
+    ff_fold = os.environ.get("BFC_TPU_FF_FOLD", "1") == "1"
+    ff_paths = os.environ.get("BFC_TPU_FF_PATHS", "1") == "1"
     return srch.SearchConfig(
         k=opt.k, min_cov=opt.min_cov, win_multi_ec=opt.win_multi_ec,
         max_end_ext=opt.max_end_ext, w_ec=opt.w_ec, w_ec_high=opt.w_ec_high,
@@ -52,6 +54,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
         heap_cap=128, stack_cap=stack_cap, iter_cap=iter_cap,
         s_bits=ds.s_bits, l_pre=ds.l_pre, kb_bits=ds.kb_bits,
         packed=ds.packed, ff_step=ff_step, fused_dirs=fused,
+        ff_fold=ff_fold, ff_paths=ff_paths,
     )
 
 
@@ -386,6 +389,9 @@ class Corrector:
                  iter_cap: int = 1024, mesh=None):
         import os
 
+        from ..utils.keepalive import start_keepalive
+
+        start_keepalive()  # long host phases must not cold the tunnel
         self.opt = opt
         self.ds = ds
         self.cfg = make_config(opt, ds, stack_cap, iter_cap)
@@ -412,6 +418,49 @@ class Corrector:
             self.cfg._replace(stack_cap=soft_stack)
             if 0 < soft_stack < stack_cap else self.cfg
         )
+
+    def prewarm(self, batch_reads: int, read_len: int = 100) -> None:
+        """Compile the hot device programs for a production stream.
+
+        Two programs dominate cold-start latency (the lockstep search
+        jit takes minutes on a v5e): the soft-capped main pass at
+        batch_reads and the full-cap straggler pass at batch_reads//4.
+        They are DIFFERENT executables (cfg + shape), so compile them in
+        parallel threads - XLA releases the GIL during compilation and
+        the host has cores to spare (the reference binary needs no
+        warm-up at all, bfc.c:77; this halves the gap)."""
+        import threading
+
+        L = max(read_len, 1)
+
+        def mk(n):
+            bases = np.zeros((n, L), np.uint8)
+            rawq = np.full((n, L), 70, np.uint8)
+            lens = np.full((n,), L, np.int32)
+            has_q = np.ones((n,), bool)
+            return bases, rawq, lens, has_q
+
+        def run(n, soft):
+            b, q, l, h = mk(n)
+            ctx = self.dispatch_arrays(
+                b, q, l, h, lambda i: ("A" * L, None),
+                soft=soft, min_b=n,
+            )
+            self.finalize_batch_arrays(ctx)
+
+        th = [
+            threading.Thread(
+                target=run, args=(max(batch_reads // 4, 256), False),
+                name="bfc-prewarm-full",
+            ),
+            threading.Thread(
+                target=run, args=(batch_reads, True), name="bfc-prewarm-soft",
+            ),
+        ]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
 
     def _fallback_table(self) -> M.CountHash:
         """Scalar CountHash mirror for overflow fallback (built lazily)."""
@@ -732,8 +781,14 @@ class Corrector:
         if os.environ.get("BFC_TPU_SEARCH_STATS"):
             from ..utils.log import log
 
-            log(f"search trips fwd/rev = {out['it'].reshape(-1)[:2].tolist()}",
-                func="correct_core")
+            trips = out["it"].reshape(-1)[:2].tolist()
+            if self.cfg.fused_dirs:
+                # fused mode runs both directions as one lockstep loop:
+                # there is a single combined trip count
+                log(f"search trips (fused dirs) = {trips[0]}",
+                    func="correct_core")
+            else:
+                log(f"search trips fwd/rev = {trips}", func="correct_core")
         # whole-batch output re-encoding (correct.c:451-459), then per-read
         # slicing; avoids per-read numpy work on the hot path
         fb = out["final_b"][:n]

@@ -30,6 +30,10 @@ from ..utils.log import log
 _MERGE_EXE: dict = {}
 _MERGE_POOL = None
 
+# tail anatomy of the most recent counting pass (seconds), for bench.py
+# and regression tracking: {"tree_finish", "adjudicate", "table"}
+TAIL_TIMINGS: dict = {}
+
 
 def await_merge_ladder() -> None:
     """Block until every in-flight background merge compile has landed
@@ -239,8 +243,19 @@ class AggBuilder:
         )
         from ..ops import spectrum_host as sph
         from ..ops.lsm import LsmTree
+        from ..utils.keepalive import start_keepalive
 
+        # the merge-ladder compiles leave the device idle for minutes
+        # and the first execution afterwards pays a ~28 s tunnel stall;
+        # the keep-alive daemon absorbs it in the product (not bench.py)
+        start_keepalive()
         kb_bits = kops.keybody_bits(self.k, self.l_pre)
+        # eager spill: a run whose row count exceeds the device merge
+        # cap can never device-merge again (the next merge attempt
+        # would spill it anyway) - spill it the moment it forms, so its
+        # tunnel pull and host merge overlap the still-running stream
+        # instead of landing in the finish tail
+        eager = os.environ.get("BFC_TPU_EAGER_SPILL", "1") == "1"
         self.tree = LsmTree(
             merge=self._merge_bounded,
             to_host=self._run_to_host,
@@ -248,6 +263,8 @@ class AggBuilder:
                 a, b, l_pre=self.l_pre, kb_bits=kb_bits),
             async_spill=True,  # plain pulls + numpy merges: thread-safe
             name="AggBuilder",
+            size=lambda run: run[1],
+            eager_min=self.max_dev_cap if eager else 0,
         )
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
@@ -385,8 +402,25 @@ class AggBuilder:
         ]
 
     def _run_to_host(self, run):
-        """Pull a device run to a HostAgg (async-first plane transfers)."""
+        """Pull a device run to a HostAgg (async-first plane transfers).
+
+        The packed layout (pack_pull) folds (arr_hi, n, nhfh) into one
+        u32 plane - ~20-30% fewer bytes over the tunnel, payload-exact
+        (saturation thresholds sit above every payload cap).  Falls
+        back to the unpacked pull past 2^47 stream bases."""
         planes, cnt = run
+        if self.arrival_base < (1 << 47):
+            packed = self.sdn.pack_pull(tuple(planes), n_id=self.n_id)
+            sliced = [p[:cnt] for p in packed]
+            jax.block_until_ready(sliced)
+            for p in sliced:
+                try:
+                    p.copy_to_host_async()
+                except Exception:
+                    break
+            return self.sdn.packed_run_to_host_agg(
+                [np.asarray(p) for p in sliced], cnt, self.k, self.l_pre
+            )
         return self.sdn.run_to_host_agg(
             self._pull_run(planes, cnt), cnt, self.k, self.l_pre
         )
@@ -407,6 +441,17 @@ class AggBuilder:
         log(f"aggregated batch {self.n_batches}: {gi} distinct in chunk",
             func="AggBuilder")
 
+    def _ensure_ret(self, ha):
+        """Materialize the derivable ret column once, at the very end:
+        the host merge chain never carried it (HostAgg.ret is None for
+        derivable configs), but every finalize consumer expects it."""
+        if ha is not None and ha.ret is None:
+            ha = ha._replace(ret=self.sdn.derive_ret_np(
+                np.asarray(ha.shard), np.asarray(ha.keybody, dtype=np.uint64),
+                self.k, self.l_pre,
+            ))
+        return ha
+
     def finish(self):
         import time
 
@@ -417,6 +462,8 @@ class AggBuilder:
             self._pending = None
         t0 = time.time()
         acc, hacc = self.tree.finish()
+        hacc = self._ensure_ret(hacc)
+        TAIL_TIMINGS["tree_finish"] = round(time.time() - t0, 2)
         log(f"counting tree finish: {time.time() - t0:.1f}s",
             func="AggBuilder")
         # the compile pool and executable cache are process-global and
@@ -430,12 +477,9 @@ class AggBuilder:
             return sph.empty_host_agg()
         planes, count = acc
         log(f"{count} distinct k-mers aggregated", func="AggBuilder")
-        # the single device->host pull of the whole counting pass; start
-        # every plane's transfer before materializing any (the tunnel
-        # serializes synchronous pulls at ~30ms+size each)
-        return self.sdn.run_to_host_agg(
-            self._pull_run(planes, count), count, self.k, self.l_pre
-        )
+        # the single device->host pull of the whole counting pass
+        # (packed layout; see _run_to_host)
+        return self._ensure_ret(self._run_to_host((planes, count)))
 
 
 def count_stream_aggregate(
@@ -540,10 +584,12 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
 
         t0 = time.time()
         shard_c, keybody_c, payload_c, hist, hist_high = sph.finalize_host(
-            agg, opt.bf_shift, opt.n_hashes
+            agg, opt.bf_shift, opt.n_hashes, k=k, l_pre=l_pre
         )
         t1 = time.time()
         ds = _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre)
+        TAIL_TIMINGS["adjudicate"] = round(t1 - t0, 2)
+        TAIL_TIMINGS["table"] = round(time.time() - t1, 2)
         log(f"# distinct k-mers in table: {len(shard_c)} "
             f"(adjudicate {t1 - t0:.1f}s, table {time.time() - t1:.1f}s)")
         return ds

@@ -90,6 +90,13 @@ def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 8192) -> Dev
     from .counter import count_batches_aggregate
 
     agg, n_reads = count_batches_aggregate(fn, opt, batch_reads=batch_reads)
+    if agg.ret is None:  # derivable config: materialize once (HostAgg)
+        from ..ops.spectrum_dense import derive_ret_np
+
+        agg = agg._replace(ret=derive_ret_np(
+            np.asarray(agg.shard), np.asarray(agg.keybody, dtype=np.uint64),
+            opt.k, opt.effective_l_pre(),
+        ))
     rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
     log(f"processed {n_reads} sequences (filter mode)")
     return DeviceBloom.from_rets(rets, keep, opt.bf_shift, opt.n_hashes)

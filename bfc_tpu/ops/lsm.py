@@ -11,6 +11,19 @@ pushes must arrive oldest-span-first - draining the device counter
 completely on spill guarantees every host push is the next contiguous
 span.
 
+Two tail optimizations (both order-preserving):
+
+  * the async spill runs as a TWO-stage pipeline - a pull worker
+    (to_host: the tunnel transfer) feeding a merge worker (host_merge:
+    numpy) through a bounded queue - so a level's transfer overlaps the
+    previous level's merge instead of serializing with it;
+  * levels too big to ever device-merge again (> eager_min rows: any
+    merge would exceed the device cap and spill anyway) are spilled
+    EAGERLY while the stream is still running, so their pulls overlap
+    device compute instead of landing in the finish tail.  Eager spill
+    drains oldest-first from the top level down to the triggering one,
+    which keeps the span order intact.
+
 The reference sizes everything for tables that fit one node's RAM
 (htab.c:28-33); this tree is the TPU-native answer to HBM being an
 order of magnitude smaller than that.
@@ -23,25 +36,45 @@ from typing import Callable, List, Optional
 from ..utils.log import log
 
 
+def _nice_thread() -> None:
+    # deprioritize: on this host every axon device dispatch rides a
+    # local terminal process, so host CPU contention from the spill
+    # merges directly slows the DEVICE stream (measured ~3-8x on
+    # batch cadence).  A niced worker only uses cycles the stream
+    # leaves idle; the final drain runs with the device idle anyway.
+    try:
+        import os
+        import threading
+
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 15)
+    except Exception:
+        pass
+
+
 class LsmTree:
     """merge(older, newer) -> run | None (None = would exceed the device
     cap: the tree spills); to_host(run) -> HostAgg; host_merge(older,
-    newer) -> HostAgg.  async_spill runs to_host+host_merge on a single
-    ordered worker thread (numpy releases the GIL) - only safe when
-    to_host contains no collectives."""
+    newer) -> HostAgg.  async_spill runs to_host and host_merge on two
+    ordered worker threads (numpy releases the GIL) - only safe when
+    to_host contains no collectives.  size(run) + eager_min enable the
+    eager mid-stream spill of merge-dead levels."""
 
     def __init__(self, merge: Callable, to_host: Callable,
                  host_merge: Callable, async_spill: bool = False,
-                 name: str = "LsmTree"):
+                 name: str = "LsmTree", size: Callable = None,
+                 eager_min: int = 0):
         self.merge = merge
         self.to_host = to_host
         self.host_merge = host_merge
         self.async_spill = async_spill
         self.name = name
+        self.size = size
+        self.eager_min = eager_min
         self.levels: List = []       # device binary counter
         self.host_levels: List = []  # host binary counter (HostAggs)
-        self._q = None
-        self._thread = None
+        self._q = None               # runs -> pull worker
+        self._q2 = None              # HostAggs -> merge worker
+        self._threads: List = []
         self._err: Optional[BaseException] = None
 
     # -- host counter -----------------------------------------------------
@@ -56,32 +89,36 @@ class LsmTree:
             self.host_levels.append(None)
         self.host_levels[i] = ha
 
-    # -- async spill worker ----------------------------------------------
+    # -- async spill pipeline ----------------------------------------------
 
-    def _worker(self) -> None:
-        # deprioritize: on this host every axon device dispatch rides a
-        # local terminal process, so host CPU contention from the spill
-        # merges directly slows the DEVICE stream (measured ~3-8x on
-        # batch cadence).  A niced worker only uses cycles the stream
-        # leaves idle; the final drain runs with the device idle anyway.
-        try:
-            import os
-            import threading
-
-            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 15)
-        except Exception:
-            pass
+    def _worker_pull(self) -> None:
+        _nice_thread()
         while True:
             item = self._q.get()
             if item is None:
                 self._q.task_done()
+                self._q2.put(None)
                 return
             try:
-                self._host_push(self.to_host(item))
+                self._q2.put(self.to_host(item))
             except BaseException as e:  # surfaced by push()/finish()
                 self._err = e
             finally:
                 self._q.task_done()
+
+    def _worker_merge(self) -> None:
+        _nice_thread()
+        while True:
+            ha = self._q2.get()
+            if ha is None:
+                self._q2.task_done()
+                return
+            try:
+                self._host_push(ha)
+            except BaseException as e:
+                self._err = e
+            finally:
+                self._q2.task_done()
 
     def _spill_item(self, run) -> None:
         if not self.async_spill:
@@ -92,19 +129,27 @@ class LsmTree:
 
         if self._q is None:
             self._q = queue.Queue(maxsize=2)
-            self._thread = threading.Thread(
-                target=self._worker, daemon=True, name="bfc-lsm-spill"
-            )
-            self._thread.start()
+            self._q2 = queue.Queue(maxsize=2)
+            self._threads = [
+                threading.Thread(target=self._worker_pull, daemon=True,
+                                 name="bfc-lsm-pull"),
+                threading.Thread(target=self._worker_merge, daemon=True,
+                                 name="bfc-lsm-merge"),
+            ]
+            for t in self._threads:
+                t.start()
         self._q.put(run)
 
     def _drain(self) -> None:
         if self._q is not None:
             self._q.join()
-            self._q.put(None)  # shut the worker down (no leaked thread)
-            self._thread.join()
+            self._q.put(None)  # shuts both workers down in order
+            for t in self._threads:
+                t.join()
+            self._q2.join()
             self._q = None
-            self._thread = None
+            self._q2 = None
+            self._threads = []
         if self._err is not None:
             raise self._err
 
@@ -120,6 +165,22 @@ class LsmTree:
             self._spill_item(run)
         log(f"spilled device counter to host in {time.time()-t0:.1f}s",
             func=self.name)
+
+    def _spill_eager(self) -> None:
+        """Spill every level from the top down to the lowest level whose
+        run can never device-merge again (> eager_min rows).  Everything
+        above that level is older, so draining top-down preserves the
+        oldest-first host push order; younger levels stay on device."""
+        low = None
+        for j, lvl in enumerate(self.levels):
+            if lvl is not None and self.size(lvl) > self.eager_min:
+                low = j
+        if low is None:
+            return
+        for j in range(len(self.levels) - 1, low - 1, -1):
+            if self.levels[j] is not None:
+                self._spill_item(self.levels[j])
+                self.levels[j] = None
 
     # -- public ------------------------------------------------------------
 
@@ -141,6 +202,8 @@ class LsmTree:
         if i == len(self.levels):
             self.levels.append(None)
         self.levels[i] = run
+        if self.eager_min and self.size is not None:
+            self._spill_eager()
 
     def finish(self):
         """Drain everything -> (device_run | None, host_agg | None);
@@ -148,8 +211,6 @@ class LsmTree:
         import time
 
         t0 = time.time()
-        self._drain()
-        t_drain = time.time() - t0
         acc = None
         for lvl in reversed(self.levels):  # oldest (highest level) first
             if lvl is None:
@@ -159,15 +220,18 @@ class LsmTree:
                 continue
             merged = self.merge(acc, lvl)
             if merged is None:
-                self._host_push(self.to_host(acc))  # acc = older span
+                self._spill_item(acc)  # acc = older span
                 acc = lvl
             else:
                 acc = merged
         self.levels = []
-        has_host = any(x is not None for x in self.host_levels)
+        has_host = (
+            any(x is not None for x in self.host_levels) or self._q is not None
+        )
         if has_host and acc is not None:
-            self._host_push(self.to_host(acc))
+            self._spill_item(acc)
             acc = None
+        self._drain()
         t1 = time.time()
         hacc = None
         for ha in reversed(self.host_levels):  # oldest first
@@ -176,7 +240,6 @@ class LsmTree:
             hacc = ha if hacc is None else self.host_merge(hacc, ha)
         self.host_levels = []
         if has_host:
-            log(f"finish: drain {t_drain:.1f}s, device spill "
-                f"{t1 - t0 - t_drain:.1f}s, host chain {time.time() - t1:.1f}s",
-                func=self.name)
+            log(f"finish: device spill {t1 - t0:.1f}s, host chain "
+                f"{time.time() - t1:.1f}s", func=self.name)
         return acc, hacc

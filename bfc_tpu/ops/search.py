@@ -75,6 +75,16 @@ class SearchConfig(NamedTuple):
     kb_bits: int
     packed: bool
     ff_step: int  # fast-forward run length (0 = disabled)
+    # fold the fast-forward pre-step into the loop body: the run advance
+    # shares the pop's payload extracts and the candidate pool-write
+    # pass instead of running its own (saves ~8 dense [B,S]/[B,L]
+    # passes per trip); byte-exact (see body comments)
+    ff_fold: bool = True
+    # allow fast-forward after the first complete path (n_paths > 0):
+    # safe because eligibility requires pen_end within the path-diff
+    # break threshold, and run penalties are monotone, so no skipped
+    # intermediate pop could have broken where the folded one doesn't
+    ff_paths: bool = True
     # sharded-table correction (table sharded over a mesh axis; lookups
     # routed by paired all_to_all): empty axis_name = single-device
     axis_name: str = ""
@@ -432,6 +442,8 @@ def ec1dir_batch(
     # run_len iterations of the lockstep loop.
     FF_STEP = cfg.ff_step
     assert FF_STEP <= 63, "run length must fit the 6-bit meta field"
+    FF_FOLD = cfg.ff_fold and FF_STEP > 0
+    FF_PATHS = cfg.ff_paths
     x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
     x0w_p = x0w.astype(PT)  # pool-dtype copies for the per-iteration extracts
     x1w_p = x1w.astype(PT)
@@ -466,6 +478,23 @@ def ec1dir_batch(
     # original j = (L-1-p): distance to previous bad in reversed = run
     ff_run_rev = jnp.arange(L, dtype=I32)[None, :] - last_bad_rev
     ff_run = ff_run_rev[:, ::-1]
+    # ONE packed per-position plane for every fast-forward input, so the
+    # per-trip read is a single [B,L] one-hot pass at position zi-1:
+    # pencum clamped to 13 bits (a clamped value disables eligibility -
+    # the per-step path then computes the true penalty), abscum exact
+    # (<= L <= 504), run length clamped to the 6-bit meta cap and
+    # SHIFTED one left (slot j holds the run starting at j+1, since the
+    # consumer reads at zi-1 while the run starts at zi), and the
+    # window-validity bit for the clean check
+    ff_next = jnp.concatenate(
+        [jnp.minimum(ff_run, 63)[:, 1:], jnp.zeros((B, 1), I32)], axis=1
+    )
+    cum_pk = (
+        jnp.minimum(pencum, 8191)
+        | (abscum << 13)
+        | (ff_next << 22)
+        | (wvalid.astype(I32) << 28)
+    )
 
     def ff_prestep(st: State) -> State:
         # ---- fast-forward pre-step (exact: heap of one, clean window)
@@ -481,12 +510,15 @@ def ec1dir_batch(
         # an N substitutes a base without an ecpos record - the
         # reference's pen.ec is 0 when the read base is N)
         prev_i = jnp.maximum(f_zi - 1, 0)
+        cum_a = _rowget(cum_pk, prev_i)
         clean = ((newest == 0) | (f_zi - (newest - 1) > k)) & (
-            (f_zi >= 1) & (_rowget(wvalid, prev_i))
+            (f_zi >= 1) & (((cum_a >> 28) & 1) == 1)
         )
-        f_zic = jnp.minimum(f_zi, L - 1)
-        steps = jnp.minimum(jnp.minimum(_rowget(ff_run, f_zic), FF_STEP),
-                            S - st.st_n)
+        # run length for a run starting at f_zi lives at slot f_zi - 1
+        # (cum_a); garbage when f_zi == 0, which `clean` already excludes
+        steps = jnp.minimum(
+            jnp.minimum((cum_a >> 22) & 63, FF_STEP), S - st.st_n
+        )
         elig = (
             ~st.done
             & (st.heap_n == 1)
@@ -495,10 +527,12 @@ def ec1dir_batch(
             & (steps > 0)
             & (f_zi < lens)
         )
-        base_cum = jnp.where(f_zi > 0, _rowget(pencum, prev_i), 0)
+        base_cum = jnp.where(f_zi > 0, cum_a & 8191, 0)
         last_pos = jnp.minimum(f_zi + steps - 1, L - 1)
-        pen_end = f_pen + _rowget(pencum, last_pos) - base_cum
-        elig = elig & (pen_end < PEN_CAP)
+        cum_b = _rowget(cum_pk, last_pos)
+        pen_end = f_pen + (cum_b & 8191) - base_cum
+        # a clamped pencum (8191) would corrupt pen_end: disable ff there
+        elig = elig & (pen_end < PEN_CAP) & ((cum_b & 8191) < 8191)
         stepsm = jnp.where(elig, steps, 0)
         # the whole forced-keep run becomes ONE run node: run_len in
         # meta bits 25-30, end position in bits 16-24; keep-steps never
@@ -538,7 +572,7 @@ def ec1dir_batch(
     )
 
     def body(st: State) -> State:
-        if FF_STEP > 0:
+        if FF_STEP > 0 and not FF_FOLD:
             st = ff_prestep(st)
         act = ~st.done
         st = st._replace(
@@ -569,6 +603,66 @@ def ec1dir_batch(
         act = act & ~brk
         early_stop = zi - end > cfg.max_end_ext
         ext = act & ~early_stop
+
+        # ---- folded fast-forward: advance the popped state along its
+        # forced-keep run BEFORE candidate generation.  Equivalent to
+        # ff_prestep + the body pop (the pre-step replaced the root of a
+        # one-entry heap and the pop immediately consumed it), but the
+        # run advance now shares the pop's payload extracts and the
+        # candidate pool-write pass below instead of paying its own.
+        # The whole run still becomes ONE run stack node; the candidate
+        # step then runs at the advanced position with the run node as
+        # parent - exactly the reference's state after run_len forced
+        # keep-steps (correct.c:291-341 with the fixed branch taken).
+        ffsh = jnp.zeros((B,), I32)  # 1 where a run node fills slot st_n
+        if FF_FOLD:
+            newest = (z_ecp & U64(511)).astype(I32)  # pos+1, 0 = none
+            prev_i = jnp.maximum(zi - 1, 0)
+            cum_a = _rowget(cum_pk, prev_i)
+            # clean = the state's window equals the precomputed one: no
+            # correction in the last k positions AND no N crossed
+            clean = ((newest == 0) | (zi - (newest - 1) > k)) & (
+                (zi >= 1) & (((cum_a >> 28) & 1) == 1)
+            )
+            steps = jnp.minimum(
+                jnp.minimum((cum_a >> 22) & 63, FF_STEP), S - st.st_n
+            )
+            elig = (
+                ext
+                & (st.heap_n == 0)  # post-pop: the heap held exactly one
+                & clean
+                & (steps > 0)
+                & (zi < lens)
+            )
+            if not FF_PATHS:
+                elig = elig & (st.n_paths == 0)
+            base_cum = cum_a & 8191
+            last_pos = jnp.minimum(zi + steps - 1, L - 1)
+            cum_b = _rowget(cum_pk, last_pos)
+            pen_end = z_pen + (cum_b & 8191) - base_cum
+            # clamped pencum would corrupt pen_end: per-step path instead
+            elig = elig & (pen_end < PEN_CAP) & ((cum_b & 8191) < 8191)
+            if FF_PATHS:
+                # never advance past the path-diff break threshold: run
+                # penalties are monotone, so this guarantees no skipped
+                # intermediate pop would have broken (correct.c:288) -
+                # the outputs (min path, n_paths, max_heap) stay exact
+                elig = elig & (
+                    (st.min_path_k < -1)
+                    | (pen_end <= st.min_path_pen + cfg.max_path_diff)
+                )
+            stepsm = jnp.where(elig, steps, 0)
+            run_meta = (stepsm << 25) | (last_pos << 16) | ((z_k + 1) << 6)
+            ext0 = _rowget(x0w_p, last_pos).astype(U64)
+            ext1 = _rowget(x1w_p, last_pos).astype(U64)
+            z_x0 = jnp.where(elig, ext0, z_x0)
+            z_x1 = jnp.where(elig, ext1, z_x1)
+            z_x2 = jnp.where(elig, kops.reverse_k(ext0, k) ^ kmask, z_x2)
+            z_x3 = jnp.where(elig, kops.reverse_k(ext1, k) ^ kmask, z_x3)
+            z_pen = jnp.where(elig, pen_end, z_pen)
+            z_k = jnp.where(elig, st.st_n, z_k)  # children chain to the run node
+            zi = zi + stepsm
+            ffsh = elig.astype(I32)
 
         # ---- candidate generation (correct.c:291-341)
         # per-read column extraction runs dense (one-hot mask + reduce):
@@ -673,11 +767,12 @@ def ec1dir_batch(
             ],
             axis=1,
         )
-        # slot assignment preserves the b-ascending push order
+        # slot assignment preserves the b-ascending push order (candidates
+        # land after the run node when this trip fast-forwarded)
         rank = (jnp.cumsum(push.astype(I32), axis=1) - push.astype(I32)).astype(I32)
         n_push = jnp.sum(push.astype(I32), axis=1).astype(I32)
-        slot4 = st.st_n[:, None] + rank
-        over = (st.st_n + n_push > S) & (n_push > 0)
+        slot4 = st.st_n[:, None] + ffsh[:, None] + rank
+        over = (st.st_n + ffsh + n_push > S) & (n_push > 0)
         pen_over = jnp.any(push & (tot4 >= PEN_CAP), axis=1)
         over = over | pen_over
         push = push & ~over[:, None]
@@ -699,10 +794,12 @@ def ec1dir_batch(
         nx1_4 = jnp.stack(
             [((z_x1 << U64(1)) | U64(b >> 1)) & kmask for b in range(4)], axis=1
         )
-        # pushed slots are consecutive (slot4 = st_n + rank), so the pool
-        # write is a fused dense select on columns [st_n, st_n + n_push):
-        # column st_n + t takes the value of the rank-t pushed base.  One
-        # elementwise pass per array instead of a serialized row scatter.
+        # pushed slots are consecutive (slot4 = st_n + ffsh + rank), so
+        # the pool write is a fused dense select on columns
+        # [st_n, st_n + ffsh + n_push): the run node (if any) at st_n,
+        # then the rank-t pushed bases.  One elementwise pass per array
+        # instead of a serialized row scatter; the run node rides the
+        # same pass for free.
         def _by_rank(vals4):
             zero = jnp.zeros((), vals4.dtype)
             return [
@@ -713,20 +810,30 @@ def ec1dir_batch(
         scols = jnp.arange(S, dtype=I32)[None, :]
         rel = scols - st.st_n[:, None]
 
-        def _pool_write(arr, vals4):
+        def _pool_write(arr, vals4, run_val=None):
             vbr = _by_rank(vals4)
             out = arr
+            if FF_FOLD:
+                m0 = (rel == 0) & elig[:, None]
+                out = jnp.where(m0, run_val[:, None], out)
+                shifted = rel - ffsh[:, None]
+            else:
+                shifted = rel
             for t in range(4):
-                m = (rel == t) & (n_push > t)[:, None]
+                m = (shifted == t) & (n_push > t)[:, None]
                 out = jnp.where(m, vbr[t][:, None], out)
             return out
 
+        run_vals = (
+            (run_meta, z_ecp, ext0.astype(PT), ext1.astype(PT))
+            if FF_FOLD else (None, None, None, None)
+        )
         st = st._replace(
-            st_meta=_pool_write(st.st_meta, meta4),
-            st_ecp=_pool_write(st.st_ecp, ecp4),
-            st_x0=_pool_write(st.st_x0, nx0_4.astype(PT)),
-            st_x1=_pool_write(st.st_x1, nx1_4.astype(PT)),
-            st_n=st.st_n + n_push,
+            st_meta=_pool_write(st.st_meta, meta4, run_vals[0]),
+            st_ecp=_pool_write(st.st_ecp, ecp4, run_vals[1]),
+            st_x0=_pool_write(st.st_x0, nx0_4.astype(PT), run_vals[2]),
+            st_x1=_pool_write(st.st_x1, nx1_4.astype(PT), run_vals[3]),
+            st_n=st.st_n + ffsh + n_push,
         )
         # heap inserts, sequential in b order (each with its own sift-up)
         for b in range(4):
@@ -805,8 +912,8 @@ def ec1dir_batch(
         ec_b = jnp.where(idx[None, :] == wi[:, None], nb[:, None], ec_b)
         if cfg.ff_step > 0:
             nic = jnp.minimum(ni, L - 1)
-            run_abs = _rowget(abscum, nic) - _rowget(
-                abscum, jnp.maximum(nic - run, 0)
+            run_abs = ((_rowget(cum_pk, nic) >> 13) & 511) - (
+                (_rowget(cum_pk, jnp.maximum(nic - run, 0)) >> 13) & 511
             )
             n_absent = n_absent + jnp.where(m & (run > 0), run_abs, 0)
         n_absent = n_absent + jnp.where(write, (meta >> 2) & 1, 0)

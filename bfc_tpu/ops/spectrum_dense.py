@@ -207,6 +207,67 @@ def pad_run(planes, cap: int):
     ]
 
 
+@functools.partial(jax.jit, static_argnames=("n_id",))
+def pack_pull(planes: Sequence[jax.Array], n_id: int):
+    """Pack the payload planes for the device->host pull.
+
+    (arr_hi, n, nhfh) fold into ONE u32 plane next to arr_lo:
+    n saturates at 511 and n_high at 127 - explicitly ABOVE every
+    payload-visible threshold (count caps at 255 via m = n-1+fp, high
+    at 63; saturating per-span counters compose: min(a,S)+min(b,S)
+    crosses S iff a+b does), so the finalized table is bit-identical
+    while the pull drops one-to-two u32 planes (~20-30% of the final
+    transfer, the counting tail's dominant cost).  arr_hi rides in the
+    top 15 bits (valid while the stream holds < 2^47 bases; the caller
+    checks arrival_base and falls back to the unpacked pull)."""
+    a_hi, a_lo = planes[n_id], planes[n_id + 1]
+    n, nhfh = planes[n_id + 2], planes[n_id + 3]
+    nh = nhfh & U32(0x7FFFFFFF)
+    fh = nhfh >> U32(31)
+    nfh = (
+        jnp.minimum(n, U32(511))
+        | (jnp.minimum(nh, U32(127)) << U32(9))
+        | (fh << U32(16))
+        | (a_hi << U32(17))
+    )
+    return list(planes[:n_id]) + [a_lo, nfh] + list(planes[n_id + 4:])
+
+
+def packed_run_to_host_agg(planes_np: List[np.ndarray], count: int, k: int,
+                           l_pre: int):
+    """Host twin of pack_pull: pulled packed planes -> HostAgg.
+
+    HostAgg.n / n_high carry the saturated (511 / 127) per-span values;
+    merge_host_aggs' saturating adds preserve the payload thresholds
+    exactly (see pack_pull)."""
+    from . import spectrum_host as sph
+
+    kb_bits = kops.keybody_bits(k, l_pre)
+    n_id, _, carry = run_layout(k, l_pre)
+    p = [np.asarray(x)[:count] for x in planes_np]
+    shard = p[0].astype(np.uint32)
+    if n_kb_planes(kb_bits) == 2:
+        keybody = (p[1].astype(np.uint64) << np.uint64(32)) | p[2]
+    else:
+        keybody = p[1].astype(np.uint64)
+    a_lo, nfh = p[n_id], p[n_id + 1]
+    first_arr = ((nfh >> np.uint32(17)).astype(np.uint64) << np.uint64(32)) | a_lo
+    if carry:
+        ret = (p[n_id + 2].astype(np.uint64) << np.uint64(32)) | p[n_id + 3]
+    else:
+        # derivable from the identity: leave None so the host merge
+        # chain never carries the 8-byte column; finalize_host derives
+        # it once over the final aggregate (spectrum_host.finalize_host)
+        ret = None
+    return sph.HostAgg(
+        shard=shard, keybody=keybody, ret=ret,
+        n=(nfh & np.uint32(511)).astype(np.uint32),
+        n_high=((nfh >> np.uint32(9)) & np.uint32(127)).astype(np.uint32),
+        first_arr=first_arr,
+        first_high=((nfh >> np.uint32(16)) & np.uint32(1)).astype(np.uint32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host conversion
 # ---------------------------------------------------------------------------

@@ -26,7 +26,10 @@ class HostAgg(NamedTuple):
 
     shard: np.ndarray       # u32
     keybody: np.ndarray     # u64
-    ret: np.ndarray         # u64 Bloom-addressing hash
+    ret: np.ndarray         # u64 Bloom-addressing hash, or None when it
+                            # is derivable from (shard, keybody): the
+                            # merge chain then skips the column and
+                            # finalize_host derives it once at the end
     n: np.ndarray           # u32 total occurrences (saturating)
     n_high: np.ndarray      # u32 high-quality occurrences (saturating)
     first_arr: np.ndarray   # u64 arrival of the first occurrence
@@ -43,7 +46,8 @@ def empty_host_agg() -> HostAgg:
 
 
 def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
-                    kb_bits: int = None, parallel: bool = True) -> HostAgg:
+                    kb_bits: int = None, parallel: bool = True,
+                    _ka: np.ndarray = None, _kb: np.ndarray = None) -> HostAgg:
     """Merge two sorted aggregates; `a` must cover the EARLIER stream span.
 
     Duplicate keys combine: occurrence counts add (saturating at u32),
@@ -71,8 +75,10 @@ def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
         if nth > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            kbv = posk64_np(b.shard, b.keybody, l_pre, kb_bits)
-            ka = posk64_np(a.shard, a.keybody, l_pre, kb_bits)
+            kbv = _kb if _kb is not None else posk64_np(
+                b.shard, b.keybody, l_pre, kb_bits)
+            ka = _ka if _ka is not None else posk64_np(
+                a.shard, a.keybody, l_pre, kb_bits)
             splits = kbv[np.linspace(0, nb, nth, endpoint=False)[1:]
                          .astype(np.int64)]
             ao = np.concatenate(
@@ -82,21 +88,28 @@ def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
                 [[0], np.searchsorted(kbv, splits, side="left"), [nb]]
             ).astype(np.int64)
 
+            def _sl(f, lo, hi):
+                return None if f is None else f[lo:hi]
+
             def part(i):
                 return merge_host_aggs(
-                    HostAgg(*(f[ao[i]:ao[i + 1]] for f in a)),
-                    HostAgg(*(f[bo[i]:bo[i + 1]] for f in b)),
+                    HostAgg(*(_sl(f, ao[i], ao[i + 1]) for f in a)),
+                    HostAgg(*(_sl(f, bo[i], bo[i + 1]) for f in b)),
                     l_pre=l_pre, kb_bits=kb_bits, parallel=False,
+                    _ka=ka[ao[i]:ao[i + 1]], _kb=kbv[bo[i]:bo[i + 1]],
                 )
 
             with ThreadPoolExecutor(max_workers=nth) as pool:
                 parts = list(pool.map(part, range(nth)))
             return HostAgg(
-                *(np.concatenate(cols) for cols in zip(*parts))
+                *(None if any(c is None for c in cols)
+                  else np.concatenate(cols) for cols in zip(*parts))
             )
     if fast:
-        ka = posk64_np(a.shard, a.keybody, l_pre, kb_bits)
-        kbv = posk64_np(b.shard, b.keybody, l_pre, kb_bits)
+        ka = _ka if _ka is not None else posk64_np(
+            a.shard, a.keybody, l_pre, kb_bits)
+        kbv = _kb if _kb is not None else posk64_np(
+            b.shard, b.keybody, l_pre, kb_bits)
         # output slot per element: a before equal b (earlier span wins)
         out_a = np.searchsorted(kbv, ka, side="left") + np.arange(na)
         out_b = np.searchsorted(ka, kbv, side="right") + np.arange(nb)
@@ -124,7 +137,8 @@ def merge_host_aggs(a: HostAgg, b: HostAgg, l_pre: int = None,
 
     return HostAgg(
         shard=shard[starts], keybody=keybody[starts],
-        ret=pick(a.ret, b.ret),
+        ret=(None if a.ret is None or b.ret is None
+             else pick(a.ret, b.ret)),
         n=addsum(a.n, b.n), n_high=addsum(a.n_high, b.n_high),
         first_arr=pick(a.first_arr, b.first_arr),
         first_high=pick(a.first_high, b.first_high),
@@ -222,7 +236,11 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
             from concurrent.futures import ThreadPoolExecutor
 
             pb = 2
-            shift = np.uint64(a_bits + bf_shift + 1 - pb)
+            # bit ids span exactly bf_shift bits, so keys occupy
+            # a_bits + bf_shift bits; this shift spreads real keys
+            # over all 1<<pb buckets (sentinels clamp into the last,
+            # which stays correct: clamping is monotone in bit id)
+            shift = np.uint64(a_bits + bf_shift - pb)
             bucket = np.minimum(key >> shift, np.uint64((1 << pb) - 1))
             with ThreadPoolExecutor(max_workers=nth) as pool:
                 futs = []
@@ -375,14 +393,22 @@ def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
     return entries, True
 
 
-def finalize_host(agg, bf_shift: int, n_hashes: int):
+def finalize_host(agg, bf_shift: int, n_hashes: int, k: int = None,
+                  l_pre: int = None):
     """Numpy twin of spectrum.finalize_counts: payloads + hist.
 
     Returns (shard, keybody, payload) compact sorted arrays, hist,
-    hist_high."""
+    hist_high.  agg.ret may be None (derivable configs, see HostAgg):
+    it is derived here, once, from (shard, keybody) - pass k/l_pre."""
     shard = np.asarray(agg.shard)
     keybody = np.asarray(agg.keybody)
-    ret = np.asarray(agg.ret)
+    if agg.ret is None:
+        from .spectrum_dense import derive_ret_np
+
+        assert k is not None and l_pre is not None
+        ret = derive_ret_np(shard, keybody.astype(np.uint64), k, l_pre)
+    else:
+        ret = np.asarray(agg.ret)
     n = np.asarray(agg.n)
     n_high = np.asarray(agg.n_high)
     first_arr = np.asarray(agg.first_arr)
