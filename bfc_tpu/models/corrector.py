@@ -79,7 +79,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
 
     solid_end, high_end, lcov, hcov, occv, kovf = ann.kcov_batch(
         table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov,
-        cfg.axis_name, cfg.n_dev,
+        cfg.axis_name, cfg.n_dev, slack=cfg.route_slack,
     )
     isl_start, isl_end, isl_found = ann.best_island_batch(solid_end, lens, k)
 
@@ -114,7 +114,8 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         end_pos, x0, x1, x2, x3, found = ann.first_kmer_batch(seq_b, lens, g_start, k)
         ec, ovf1 = ann.greedy_k_batch(
             table, x0, x1, x2, x3, mode, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits,
-            cfg.axis_name, cfg.n_dev,
+            cfg.axis_name, cfg.n_dev, slack=cfg.route_slack,
+            valid=g_active & found,
         )
         g_ovf = g_ovf | ovf1
         ec = jnp.where(found, ec, -1)
@@ -212,7 +213,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
             tuple(cat(a, b) for a, b in zip(win_f, win_r))
             if win_f is not None else None
         )
-        ecC, naC, rvC, mhC, ovC, itC = srch.ec1dir_batch(
+        ecC, naC, rvC, mhC, ovC, itC, rvfC = srch.ec1dir_batch(
             table, cfg, cat(seq_fix, seq_r), cat(seq_q, q_r),
             cat(seq_q, q_r), cat(lcov, lcov_r), cat(hcov, hcov_r),
             cat(lens, lens), cat(start, start_r),
@@ -225,17 +226,19 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         mh0, mh1 = mhC[:B], mhC[B:]
         ov0, ov1 = ovC[:B], ovC[B:]
         it0 = it1 = itC
+        s_rovf = rvfC
     else:
         # ---- forward direction over [start, n)
-        ec0, na0, rv0, mh0, ov0, it0 = srch.ec1dir_batch(
+        ec0, na0, rv0, mh0, ov0, it0, rovf0 = srch.ec1dir_batch(
             table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start,
             searchable, win_bits=win_f, soft_cap=soft_cap,
         )
         ok0_ = searchable & (rv0 >= 0) & ~ov0
-        ec1r, na1, rv1, mh1, ov1, it1 = srch.ec1dir_batch(
+        ec1r, na1, rv1, mh1, ov1, it1, rovf1 = srch.ec1dir_batch(
             table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r,
             ok0_, win_bits=win_r, soft_cap=soft_cap,
         )
+        s_rovf = rovf0 | rovf1
     ok0 = searchable & (rv0 >= 0) & ~ov0
     # direction-2 results for ~ok0 lanes are discarded here: ok1 gates
     # every merged output, and failed-read stats are zeroed at pack time
@@ -279,6 +282,10 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     # whose forward pass already failed is discarded, matching the
     # non-fused path where direction 2 never runs there
     overflow = ((ov0 | (ov1 & ok0)) & searchable) | kovf | g_ovf
+    # scalar routing-bucket overflow: the driver retries the whole batch
+    # with doubled slack (compiled once per slack) before any per-read
+    # scalar fallback (count.c:42-52 insbuf retry ethos)
+    route_ovf = kovf | g_ovf | s_rovf
     return dict(
         final_b=final_b, is_diff=is_diff, ob=ob, q=seq_q,
         ec_code=ec_code, brute=greedy_ok.astype(I32),
@@ -287,6 +294,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         max_heap=jnp.maximum(mh0, mh1).astype(I32),
         overflow=overflow,
         it=jnp.stack([it0, it1]),  # per-direction lockstep trip counts
+        route_ovf=route_ovf[None],  # [1]: stacks per-device under shard_map
     )
 
 
@@ -409,6 +417,10 @@ class Corrector:
         # search; see correct_many).  The cap is a TRACED scalar (no
         # recompile) adapted per batch toward ~10% stragglers.  0 disables.
         self._soft_cap = int(os.environ.get("BFC_TPU_SOFT_ITERS", "64"))
+        # sharded-lookup bucket slack; doubled (sticky) on routing
+        # overflow and the batch re-dispatched - one compile per slack,
+        # only ever paid under pathological key skew
+        self._route_slack = self.cfg.route_slack
         # the soft pass also runs with a small stack pool: every pool
         # write/extract is a dense pass over [B, stack_cap], and p99
         # stack depth is ~185, so a 256-slot pool is 4x cheaper than the
@@ -434,7 +446,11 @@ class Corrector:
         L = max(read_len, 1)
 
         def mk(n):
-            bases = np.zeros((n, L), np.uint8)
+            # hash-diverse dummy reads: constant bases would aim every
+            # sharded-table lookup at ONE prefix owner and trip the
+            # routing-overflow retry during warm-up
+            rng = np.random.default_rng(0xBFC)
+            bases = rng.integers(0, 4, (n, L)).astype(np.uint8)
             rawq = np.full((n, L), 70, np.uint8)
             lens = np.full((n,), L, np.int32)
             has_q = np.ones((n,), bool)
@@ -714,6 +730,8 @@ class Corrector:
             j_lens = jnp.asarray(lens)
         soft = soft and self._soft_cap > 0
         use_cfg = self.cfg_main if soft else self.cfg
+        if self._route_slack != use_cfg.route_slack:
+            use_cfg = use_cfg._replace(route_slack=self._route_slack)
         sc = jnp.int32(min(self._soft_cap, self.cfg.iter_cap) if soft
                        else self.cfg.iter_cap)
         if isinstance(self.ds.table, spec.ShardedCuckoo):
@@ -738,7 +756,10 @@ class Corrector:
             except Exception:
                 break
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,
-                    soft=soft)
+                    soft=soft,
+                    redispatch=lambda: self.dispatch_arrays(
+                        bases0, rawq0, lens0, has_q, text_of,
+                        soft=soft, min_b=min_b))
 
     def finalize_batch_arrays(self, ctx) -> Optional["BatchResult"]:
         """Block on the device step; assemble results as BATCH ARRAYS.
@@ -775,6 +796,19 @@ class Corrector:
             out = {k: to_host(v) for k, v in ctx["out"].items()}
         else:
             out = {k: np.asarray(v) for k, v in ctx["out"].items()}
+        if bool(np.asarray(out["route_ovf"]).any()) and "redispatch" in ctx:
+            # a sharded-lookup bucket overflowed: every lookup of the
+            # round is unusable.  Double the slack (sticky) and re-run
+            # the batch on device rather than dumping it to the scalar
+            # fallback; give up past 32x (per-read overflow flags then
+            # route reads to the exact scalar path as before)
+            if self._route_slack < 32:
+                from ..utils.log import log
+
+                self._route_slack *= 2
+                log(f"routing bucket overflow; retrying batch with "
+                    f"slack {self._route_slack}", func="Corrector")
+                return self.finalize_batch_arrays(ctx["redispatch"]())
         quals_present = ctx["has_q"]
         import os
 

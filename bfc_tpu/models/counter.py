@@ -93,6 +93,10 @@ class DeviceSpectrum:
     # -- host-side helpers (tests, dump) ------------------------------------
 
     def compact_entries(self):
+        if callable(self._compact):
+            # lazy host copy (sharded human-scale tables never gather
+            # unless a dump/test explicitly asks)
+            self._compact = self._compact()
         assert self._compact is not None
         return self._compact
 

@@ -249,19 +249,23 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
         elif mesh is not None:
             from ..parallel.mesh import count_file_mesh
 
-            ds = count_file_mesh(count_fn, opt, mesh, batch_reads=max(batch_reads, 8 * mesh_devices))
+            ds = count_file_mesh(count_fn, opt, mesh,
+                                 batch_reads=max(batch_reads, 8 * mesh_devices),
+                                 shard_table=shard_table and not no_ec)
         else:
             ds = count_file_device(count_fn, opt)
         if out_hash is not None:
             ds.dump(out_hash)
         if not no_ec:
             if mesh is not None and shard_table:
+                from ..ops import spectrum as _spec
                 from ..parallel import mesh as pmesh
 
-                ok = pmesh.shard_cuckoo_table(ds, mesh)
-                if not ok:
-                    log("table layout not shardable; correcting with a "
-                        "replicated table", func="run_device")
+                if not isinstance(ds.table, _spec.ShardedCuckoo):
+                    ok = pmesh.shard_cuckoo_table(ds, mesh)
+                    if not ok:
+                        log("table layout not shardable; correcting with a "
+                            "replicated table", func="run_device")
             correct_file_device(next_fn, opt, ds, out, batch_reads=batch_reads,
                                 mesh=mesh)
     if sink is not None:

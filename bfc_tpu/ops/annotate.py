@@ -21,13 +21,14 @@ U64 = jnp.uint64
 
 
 def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
-                n_dev=1):
+                n_dev=1, slack=2, valid=None):
     """Returns (occ, overflow-scalar); see search._occ_of."""
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
     no_ovf = jnp.zeros((), bool)
     if isinstance(table, spec.ShardedCuckoo):
         return spec.sharded_cuckoo_lookup(
-            table, q_shard, q_kb, s_bits, l_pre, kb_bits, axis_name, n_dev
+            table, q_shard, q_kb, s_bits, l_pre, kb_bits, axis_name, n_dev,
+            slack=slack, valid=valid,
         )
     if isinstance(table, spec.CuckooTable):
         return spec.cuckoo_lookup(table, q_shard, q_kb, s_bits, l_pre, kb_bits), no_ovf
@@ -37,9 +38,11 @@ def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "l_pre", "s_bits", "kb_bits", "min_cov", "axis_name", "n_dev"))
+    "k", "l_pre", "s_bits", "kb_bits", "min_cov", "axis_name", "n_dev",
+    "slack"))
 def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int,
-               min_cov: int, axis_name: str = "", n_dev: int = 1):
+               min_cov: int, axis_name: str = "", n_dev: int = 1,
+               slack: int = 2):
     """Per-base solid coverage annotation (bfc_ec_kcov, correct.c:96-117).
 
     Returns (solid_end, high_end, lcov, hcov, occ, ovf) where occ is the
@@ -49,7 +52,7 @@ def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int
     valid = kops.valid_kmer_mask(seq_b, lens, k)
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
     occ, ovf = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1,
-                           axis_name, n_dev)
+                           axis_name, n_dev, slack, valid=valid)
     occ = jnp.where(valid, occ, -1)
     present = occ >= 0
     high_end = present & (((occ >> 8) & 0x3F) >= min_cov + 1)
@@ -128,9 +131,10 @@ def first_kmer_batch(seq_b, lens, start, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "l_pre", "s_bits", "kb_bits", "axis_name", "n_dev"))
+    "k", "l_pre", "s_bits", "kb_bits", "axis_name", "n_dev", "slack"))
 def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
-                   kb_bits: int, axis_name: str = "", n_dev: int = 1):
+                   kb_bits: int, axis_name: str = "", n_dev: int = 1,
+                   slack: int = 2, valid=None):
     """Single-substitution brute-force repair (bfc_ec_greedy_k, correct.c:63-80).
 
     Tries all (position, alt-base) substitutions of the k-mer; accepts
@@ -156,7 +160,8 @@ def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
     occ, ovf = _occ_lookup(
         table, k, l_pre, s_bits, kb_bits,
         jnp.stack(cand_h0, axis=1), jnp.stack(cand_h1, axis=1),
-        axis_name, n_dev,
+        axis_name, n_dev, slack,
+        valid=None if valid is None else valid[:, None],
     )                                             # [B, 4k]
     occ = jnp.where(jnp.stack(cand_skip, axis=1), -1, occ)
     codes = jnp.asarray(cand_code, I32)           # [4k]

@@ -89,6 +89,9 @@ class SearchConfig(NamedTuple):
     # routed by paired all_to_all): empty axis_name = single-device
     axis_name: str = ""
     n_dev: int = 1
+    # routing-bucket slack for sharded lookups; the driver doubles it
+    # and retries on bucket overflow (count.c:42-52 insbuf retry ethos)
+    route_slack: int = 2
     # run both search directions as ONE lockstep loop over [2B] lanes
     # (directions are data-independent: the reverse pass reads only the
     # pre-search seq_fix/coverage rows, and its outputs are discarded
@@ -137,6 +140,9 @@ class State(NamedTuple):
     overflow: jax.Array      # bool [B]
     max_heap: jax.Array      # i32 [B]
     it: jax.Array            # i32 scalar
+    rovf: jax.Array          # bool scalar: a routing bucket overflowed
+                             # (results unusable; driver retries with
+                             # doubled slack before any scalar fallback)
 
 
 def _pvary_all(xs, axis_name: str):
@@ -304,19 +310,21 @@ def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
     return new_ec | (new_eph << U64(45))
 
 
-def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3):
+def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3, valid=None):
     """Batched occ lookup; returns (occ, overflow-scalar).
 
     overflow is always False for local tables; for a ShardedCuckoo it
-    flags an exhausted routing bucket (results unusable -> the caller
-    must push the affected lanes to the scalar fallback)."""
+    flags an exhausted routing bucket (results unusable -> the driver
+    retries the batch with doubled slack).  `valid` (sharded only)
+    keeps dead lanes out of the routing buckets - dead lanes often
+    share one constant window, which would skew one destination."""
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
     no_ovf = jnp.zeros((), bool)
     if isinstance(table, spec.ShardedCuckoo):
         return spec.sharded_cuckoo_lookup(
             table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits,
-            cfg.axis_name, cfg.n_dev,
+            cfg.axis_name, cfg.n_dev, slack=cfg.route_slack, valid=valid,
         )
     if isinstance(table, spec.CuckooTable):
         return spec.cuckoo_lookup(table, q_shard, q_kb, cfg.s_bits, cfg.l_pre,
@@ -420,6 +428,7 @@ def ec1dir_batch(
         overflow=jnp.zeros((B,), bool),
         max_heap=jnp.zeros((B,), I32),
         it=jnp.zeros((), I32),
+        rovf=jnp.zeros((), bool),
     )
     st = heap_push(st, _he_pack(jnp.zeros((B,), I32), init_i, jnp.full((B,), -1, I32)),
                    active)
@@ -449,10 +458,12 @@ def ec1dir_batch(
     x1w_p = x1w.astype(PT)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
     if win_bits is None:
-        occ_pre0, pre_ovf = _occ_of(table, cfg, x0w, x1w, x2w, x3w)
+        occ_pre0, pre_ovf = _occ_of(table, cfg, x0w, x1w, x2w, x3w,
+                                    valid=wvalid & active[:, None])
         st = st._replace(
             overflow=st.overflow | (pre_ovf & active),
             done=st.done | (pre_ovf & active),
+            rovf=st.rovf | pre_ovf,
         )
         occ_pre = jnp.where(wvalid, occ_pre0, -1)
         # -1 & 0xFF reads as 255 (the correct.c:300 quirk)
@@ -681,9 +692,10 @@ def ec1dir_batch(
         bb = jnp.broadcast_to(jnp.arange(4, dtype=I32)[None, :], (B, 4))
         nx = kops.append_base(z_x0[:, None], z_x1[:, None],
                               z_x2[:, None], z_x3[:, None], bb, k)
-        occ, it_ovf = _occ_of(table, cfg, *nx)  # i32 [B,4]
-        lost = it_ovf & act  # routing-bucket overflow: scalar fallback
-        st = st._replace(overflow=st.overflow | lost, done=st.done | lost)
+        occ, it_ovf = _occ_of(table, cfg, *nx, valid=act[:, None])  # i32 [B,4]
+        lost = it_ovf & act  # routing-bucket overflow: driver retry
+        st = st._replace(overflow=st.overflow | lost, done=st.done | lost,
+                         rovf=st.rovf | it_ovf)
         act = act & ~lost
         ext = ext & ~lost
         cb_ok = ~c_none & (c_b < 4)
@@ -938,6 +950,7 @@ def ec1dir_batch(
         st.max_heap,
         st.overflow & active,
         st.it,  # lockstep trip count (batch scheduling diagnostics)
+        st.rovf,  # routing-bucket overflow (driver retries with 2x slack)
     )
     if debug:
         return out + (st,)

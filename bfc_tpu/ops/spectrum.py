@@ -301,102 +301,202 @@ class CuckooTable(NamedTuple):
 
 
 class ShardedCuckoo(NamedTuple):
-    """Slot-range-sharded cuckoo table for meshes where the spectrum does
-    not fit one device (the reference's whole design sizes for this:
-    htab.c:28-33 prefix sharding, 67-84 GB peak on human).
+    """Hash-prefix-sharded cuckoo table for meshes where the spectrum
+    does not fit one device (the reference's whole design sizes for
+    this: htab.c:28-33 prefix sharding, 67-84 GB peak on human).
 
-    `entries` is the same u64 [1 << c_bits] array as CuckooTable but laid
-    out sharded over the mesh axis; under shard_map each device sees its
-    contiguous slot block [my * Sl, (my+1) * Sl).  Lookups route slot
-    requests to the owning device with a paired all_to_all
-    (request/response) - see sharded_cuckoo_lookup."""
+    Each device block is an INDEPENDENT cuckoo sub-table over the keys
+    of its hash-prefix range - the reference's 1<<l_pre independent
+    khash shards, at mesh granularity.  Both probe slots of a key live
+    inside its owner's block, so a lookup routes ONE request (the
+    64-bit position key) to the owner and gets ONE occ word back -
+    half the collective traffic of routing raw slot fetches, and the
+    per-destination load is hash-uniform by construction.
 
-    entries: jax.Array  # u64, globally [1 << c_bits]; locally [Sl]
+    Globally `entries` is u64 [n_dev << cb_local]; under shard_map each
+    device sees its block [1 << cb_local].  The global c_bits (as
+    carried in SearchConfig.s_bits / DeviceSpectrum.s_bits) is
+    log2(n_dev) + cb_local.  Sub-table hash: for position key pk,
+    dest = pk >> (64 - log2(n_dev)); s1 = next cb_local bits of pk;
+    s2 = s1 ^ (mult_hash(qlow) >> (64 - cb_local)); entry layout is
+    CuckooTable's (qlow << 15 | nest << 14 | payload), and
+    (dest, slot, nest, qlow) reconstructs the full identity, so matches
+    stay exact."""
+
+    entries: jax.Array  # u64, globally [n_dev << cb_local]; locally [Sl]
 
 
-def route_slot_requests(entries_local, slots, valid, axis_name: str,
-                        n_dev: int, cap: int):
-    """Fetch table entries for global slot ids via paired all_to_all.
-
-    Inside shard_map over `axis_name`.  slots: i64 [N] global slot ids
-    (i64 end to end: human-scale sharded tables exceed 2^31 slots, and
-    an i32 wrap here would alias slots or drop requests WITHOUT setting
-    the overflow flag; entries_local covers [my*Sl, (my+1)*Sl));
-    valid: bool [N].
-    Returns (entries u64 [N], overflow bool scalar): entries are 0 for
-    invalid/dropped requests; overflow=True when any per-destination
-    request bucket exceeded cap (callers must then treat the whole
-    round's results as unusable and fall back)."""
-    N = slots.shape[0]
-    Sl = entries_local.shape[0]
-    slots = slots.astype(jnp.int64)
-    dest = jnp.where(valid, slots // Sl, n_dev)
-    # per-destination rank via n_dev dense cumsums (no sort, no gathers)
-    send_pos = jnp.full((N,), n_dev * cap, jnp.int32)
-    overflow = jnp.zeros((), bool)
-    for d in range(n_dev):
-        m = dest == d
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        send_pos = jnp.where(m & (rank < cap), d * cap + rank, send_pos)
-        overflow = overflow | (jnp.sum(m.astype(jnp.int32)) > cap)
-    buf = jnp.full((n_dev * cap,), -1, jnp.int64)
-    buf = buf.at[send_pos].set(slots, mode="drop")
-    req = jax.lax.all_to_all(
-        buf.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
-        tiled=True,
-    ).reshape(-1)
-    my = jax.lax.axis_index(axis_name)
-    local = req - my.astype(jnp.int64) * Sl
-    ans = jnp.where(
-        req >= 0,
-        entries_local[jnp.clip(local, 0, Sl - 1)],
-        U64(0),
-    )
-    resp = jax.lax.all_to_all(
-        ans.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
-        tiled=True,
-    ).reshape(-1)
-    # the bucket layout is symmetric: my request at send slot (d, r) was
-    # answered by device d and returned to resp slot (d, r)
-    got = resp[jnp.minimum(send_pos, n_dev * cap - 1)]
-    got = jnp.where(valid & (send_pos < n_dev * cap), got, U64(0))
-    return got, overflow
+def _dest_bits(n_dev: int) -> int:
+    assert n_dev & (n_dev - 1) == 0, "sharded table needs 2^k devices"
+    return n_dev.bit_length() - 1
 
 
 def sharded_cuckoo_lookup(table: ShardedCuckoo, q_shard, q_keybody,
                           c_bits: int, l_pre: int, kb_bits: int,
-                          axis_name: str, n_dev: int):
-    """Batched payload lookup against a slot-sharded cuckoo table.
+                          axis_name: str, n_dev: int, slack: int = 2,
+                          valid=None):
+    """Batched payload lookup against a prefix-sharded cuckoo table.
 
-    Same match semantics as cuckoo_lookup; both probe slots of every
-    query are fetched in ONE routing round.  Returns (occ i32 [...],
-    overflow bool scalar)."""
+    Inside shard_map over `axis_name`.  Routes each query's position
+    key to its prefix owner with a paired all_to_all (sort-based
+    bucketing: one radix pass, O(N) independent of n_dev); the owner
+    answers with the occ word after two local probes.  Returns
+    (occ i32 [...], overflow bool scalar): overflow=True when a
+    destination bucket exceeded its capacity (requests dropped -
+    callers must treat the round as unusable and retry with more
+    slack or fall back).  Buckets are hash-uniform over VALID queries,
+    so overflow needs pathological key skew at slack >= 2; pass
+    `valid` so dead lanes (padding reads, finished search lanes, which
+    often share one constant window and would all route to one owner)
+    never enter a bucket - their occ returns -1."""
     shape = q_shard.shape
-    pk = posk64(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre, kb_bits)
-    qlow = _id_low(q_shard.reshape(-1), q_keybody.reshape(-1), l_pre,
-                   kb_bits, c_bits)
-    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int64)
-    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int64)
-    s2 = s1 ^ alt
-    N = s1.shape[0]
-    slots = jnp.concatenate([s1, s2])
-    valid = jnp.ones((2 * N,), bool)
-    cap = max(64, (2 * N + n_dev - 1) // n_dev * 2)
-    ents, ovf = route_slot_requests(table.entries, slots, valid, axis_name,
-                                    n_dev, cap)
-    e1, e2 = ents[:N], ents[N:]
+    qs = q_shard.reshape(-1)
+    qk = q_keybody.reshape(-1)
+    pk = posk64(qs, qk, l_pre, kb_bits)
+    db = _dest_bits(n_dev)
+    Sl = table.entries.shape[0]
+    cb_local = c_bits - db
+    assert Sl == 1 << cb_local, (Sl, c_bits, db)
+    N = pk.shape[0]
+    cap = max(64, (N + n_dev - 1) // n_dev * slack)
+    dest = (
+        (pk >> U64(64 - db)).astype(U32) if db else jnp.zeros((N,), U32)
+    )
+    if valid is not None:
+        vflat = jnp.broadcast_to(valid, shape).reshape(-1)
+        dest = jnp.where(vflat, dest, U32(n_dev))
+    order = stable_order(dest)
+    dest_s = dest[order].astype(jnp.int32)
+    rank = (
+        jnp.arange(N, dtype=jnp.int32)
+        - jnp.searchsorted(dest_s, dest_s, side="left").astype(jnp.int32)
+    )
+    counts = jnp.bincount(jnp.minimum(dest_s, n_dev), length=n_dev + 1)[:n_dev]
+    overflow = jnp.any(counts > cap)
+    slot = jnp.where(
+        (dest_s < n_dev) & (rank < cap), dest_s * cap + rank, n_dev * cap + 1
+    )
+    # identity bits can exceed 64 (big k): qlow is then not derivable
+    # from pk at the owner and must ride along as a second plane
+    carry_qlow = identity_bits(l_pre, kb_bits) > 64
+    qlow_mine = _id_low(qs, qk, l_pre, kb_bits, c_bits)
+    buf = jnp.zeros((n_dev * cap,), U64).at[slot].set(pk[order], mode="drop")
+
+    def xch(b):
+        return jax.lax.all_to_all(
+            b.reshape(n_dev, cap), axis_name, split_axis=0, concat_axis=0,
+            tiled=True,
+        ).reshape(-1)
+
+    req = xch(buf)
+    if carry_qlow:
+        bufq = jnp.zeros((n_dev * cap,), U64).at[slot].set(
+            qlow_mine[order], mode="drop"
+        )
+        qlow_r = xch(bufq)
+    else:
+        idb = identity_bits(l_pre, kb_bits)
+        nlow = idb - c_bits
+        qlow_r = (
+            (req >> U64(64 - idb)) & U64((1 << nlow) - 1)
+            if nlow > 0 else jnp.zeros_like(req)
+        )
+    # owner-side probes: both slots are local to this block
+    s1 = ((req >> U64(64 - c_bits)) & U64(Sl - 1)).astype(jnp.int32)
+    alt = ((qlow_r * _CUCKOO_GOLD) >> U64(64 - cb_local)).astype(jnp.int32)
+    e1 = table.entries[s1]
+    e2 = table.entries[s1 ^ alt]
 
     def match(e, nest):
         return (
             ((e & U64(0x3FFF)) != 0)
             & (((e >> U64(14)) & U64(1)) == U64(nest))
-            & ((e >> U64(15)) == qlow)
+            & ((e >> U64(15)) == qlow_r)
         )
 
     v1 = (e1 & U64(0x3FFF)).astype(jnp.int32)
     v2 = (e2 & U64(0x3FFF)).astype(jnp.int32)
-    occ = jnp.where(match(e1, 0), v1, jnp.where(match(e2, 1), v2, -1))
-    return occ.reshape(shape), ovf
+    ans = jnp.where(match(e1, 0), v1, jnp.where(match(e2, 1), v2, -1))
+    resp = xch(ans)
+    got_sorted = jnp.where(
+        slot < n_dev * cap, resp[jnp.minimum(slot, n_dev * cap - 1)], -1
+    )
+    occ = jnp.zeros((N,), jnp.int32).at[order].set(got_sorted)
+    return occ.reshape(shape), overflow
+
+
+def cuckoo_build_local(shard, keybody, payload, c_bits: int, cb_local: int,
+                       l_pre: int, kb_bits: int, max_rounds: int = 256,
+                       axis_name: str = ""):
+    """Build one device's cuckoo sub-table (shard_map body; no
+    collectives, so devices may take different trip counts).
+
+    Inputs are the device's compacted kept entries (padding rows have
+    payload == 0).  Vectorized random-walk insertion, the device twin
+    of spectrum_host.build_cuckoo_table_host: every unplaced key claims
+    its preferred slot, losers and evicted keys flip to their alternate
+    slot.  The host build breaks eviction cycles by randomizing the
+    WRITE ORDER each round; here the per-slot winner is the max of a
+    round-hashed priority (a scatter-max, deterministic regardless of
+    XLA's duplicate-scatter order) - same distribution, reproducible.
+    Placement is layout-only, never output-visible.  Returns
+    (entries u64 [Sl], ok)."""
+    Sl = 1 << cb_local
+    n = shard.shape[0]
+    valid = payload != 0
+    pk = posk64(shard, keybody, l_pre, kb_bits)
+    s1 = ((pk >> U64(64 - c_bits)) & U64(Sl - 1)).astype(jnp.int32)
+    qlow = _id_low(shard, keybody, l_pre, kb_bits, c_bits)
+    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - cb_local)).astype(jnp.int32)
+    s2 = s1 ^ alt
+    ids = jnp.arange(n, dtype=jnp.int32)
+    idb = max(int(n).bit_length(), 1)  # id+1 fits idb+1 bits
+    idmask = U64((1 << (idb + 1)) - 1)
+    ids_u = ids.astype(U64) + U64(1)   # 0 = "no claim" sentinel
+
+    def pending(occupant, cur):
+        return valid & (occupant[cur] != ids)
+
+    def cond(state):
+        occupant, cur, pref, rnd = state
+        return jnp.any(pending(occupant, cur)) & (rnd < max_rounds)
+
+    def body(state):
+        occupant, cur, pref, rnd = state
+        pend = pending(occupant, cur)
+        # random per-round winner among contenders (splitmix-style hash)
+        prio = (ids.astype(U64) + U64(0x9E3779B97F4A7C15)) * (
+            rnd.astype(U64) * U64(2) + U64(0xBF58476D1CE4E5B9)
+        )
+        wval = ((prio >> U64(idb + 1)) << U64(idb + 1)) | ids_u
+        claim = jnp.zeros((Sl,), U64).at[
+            jnp.where(pend, cur, Sl)
+        ].max(wval, mode="drop")
+        won = (claim & idmask).astype(jnp.int32) - 1
+        occupant = jnp.where(claim > 0, won, occupant)
+        pend2 = pending(occupant, cur)
+        pref = pref ^ pend2.astype(jnp.int32)
+        cur = jnp.where(pend2, jnp.where(pref == 0, s1, s2), cur)
+        return occupant, cur, pref, rnd + 1
+
+    init = (jnp.full((Sl,), -1, jnp.int32), s1,
+            jnp.zeros((n,), jnp.int32), jnp.zeros((), jnp.int32))
+    if axis_name:
+        # constant-initialized carries must be marked device-varying to
+        # match the body outputs under shard_map (see search._pvary_all)
+        init = tuple(
+            x if axis_name in getattr(jax.typeof(x), "vma", frozenset())
+            else jax.lax.pvary(x, axis_name)
+            for x in init
+        )
+    occupant, cur, pref, _ = jax.lax.while_loop(cond, body, init)
+    placed = valid & (occupant[cur] == ids)
+    ok = ~jnp.any(valid & ~placed)
+    entry = (qlow << U64(15)) | (pref.astype(U64) << U64(14)) | payload.astype(U64)
+    entries = jnp.zeros((Sl,), U64).at[
+        jnp.where(placed, cur, Sl)
+    ].set(entry, mode="drop")
+    return entries, ok
 
 
 _CUCKOO_GOLD = U64(0x9E3779B97F4A7C15)

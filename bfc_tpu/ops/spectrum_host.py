@@ -346,17 +346,40 @@ def _id_low_np(shard, keybody, l_pre: int, kb_bits: int, c_bits: int):
             << np.uint64(kb_bits)) | keybody
 
 
+def _cuckoo_place_np(s1, s2, S: int, max_rounds: int = 256):
+    """Vectorized random-walk cuckoo placement: every unplaced key
+    claims its currently-preferred slot (per-slot winner chosen by a
+    RANDOMIZED write order -- a deterministic synchronous order can
+    livelock in period-2 eviction cycles at scale); losers and evicted
+    keys flip to their alternate slot and retry.  Converges in a few
+    dozen rounds at load <= 0.4.  Returns (cur, pref, ok)."""
+    n = len(s1)
+    ids = np.arange(n, dtype=np.int64)
+    pref = np.zeros(n, np.uint8)
+    cur = s1.copy()
+    occupant = np.full(S, -1, np.int64)
+    rng = np.random.default_rng(0xBFC)  # seeded: reproducible layout
+    for _ in range(max_rounds):
+        pend = ids[occupant[cur] != ids]
+        if pend.size == 0:
+            break
+        pend = pend[rng.permutation(pend.size)]
+        occupant[cur[pend]] = pend
+        pend2 = ids[occupant[cur] != ids]
+        pref[pend2] ^= 1
+        cur[pend2] = np.where(pref[pend2] == 0, s1[pend2], s2[pend2])
+    else:
+        if (occupant[cur] != ids).any():
+            return cur, pref, False
+    return cur, pref, True
+
+
 def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
                             l_pre: int, kb_bits: int, max_rounds: int = 256):
     """Two-choice cuckoo placement (see spectrum.CuckooTable).
 
-    Vectorized random-walk insertion: every unplaced key claims its
-    currently-preferred slot (per-slot winner chosen by a RANDOMIZED
-    write order -- a deterministic synchronous order can livelock in
-    period-2 eviction cycles at scale); losers and evicted keys flip to
-    their alternate slot and retry.  Converges in a few dozen rounds at
-    load <= 0.4.  Returns (entries u64[1<<c_bits], ok); ok False =>
-    caller falls back to the displacement layout."""
+    Returns (entries u64[1<<c_bits], ok); ok False => caller falls back
+    to the displacement layout."""
     n = len(shard)
     S = 1 << c_bits
     entries = np.zeros((S,), np.uint64)
@@ -367,29 +390,48 @@ def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
     qlow = _id_low_np(shard, keybody, l_pre, kb_bits, c_bits)
     alt = ((qlow * np.uint64(0x9E3779B97F4A7C15))
            >> np.uint64(64 - c_bits)).astype(np.int64)
-    s2 = s1 ^ alt
-    ids = np.arange(n, dtype=np.int64)
-    pref = np.zeros(n, np.uint8)
-    cur = s1.copy()
-    occupant = np.full(S, -1, np.int64)
-    rng = np.random.default_rng(0xBFC)  # seeded: reproducible layout
-    for _ in range(max_rounds):
-        pend = ids[occupant[cur] != ids]
-        if pend.size == 0:
-            break
-        # scatter winner = last writer; randomize the order so no two
-        # keys can fight deterministically forever over one slot
-        pend = pend[rng.permutation(pend.size)]
-        occupant[cur[pend]] = pend
-        pend2 = ids[occupant[cur] != ids]
-        pref[pend2] ^= 1
-        cur[pend2] = np.where(pref[pend2] == 0, s1[pend2], s2[pend2])
-    else:
-        if (occupant[cur] != ids).any():
-            return entries, False
+    cur, pref, ok = _cuckoo_place_np(s1, s1 ^ alt, S, max_rounds)
+    if not ok:
+        return entries, False
     entries[cur] = ((qlow << np.uint64(15))
                     | (pref.astype(np.uint64) << np.uint64(14))
                     | payload.astype(np.uint64))
+    return entries, True
+
+
+def build_sharded_cuckoo_host(shard, keybody, payload, n_dev: int,
+                              cb_local: int, l_pre: int, kb_bits: int):
+    """Per-device cuckoo sub-tables from compact sorted entries (the
+    host twin of spectrum.cuckoo_build_local; layout documented at
+    spectrum.ShardedCuckoo).  Returns (entries u64[n_dev << cb_local],
+    ok)."""
+    db = n_dev.bit_length() - 1
+    assert n_dev == 1 << db
+    c_bits = db + cb_local
+    Sl = 1 << cb_local
+    entries = np.zeros((n_dev * Sl,), np.uint64)
+    n = len(shard)
+    if n == 0:
+        return entries, True
+    pk = posk64_np(shard, keybody, l_pre, kb_bits)
+    dest = (pk >> np.uint64(64 - db)).astype(np.int64) if db else np.zeros(n, np.int64)
+    s1 = ((pk >> np.uint64(64 - c_bits)) & np.uint64(Sl - 1)).astype(np.int64)
+    qlow = _id_low_np(shard, keybody, l_pre, kb_bits, c_bits)
+    alt = ((qlow * np.uint64(0x9E3779B97F4A7C15))
+           >> np.uint64(64 - cb_local)).astype(np.int64)
+    s2 = s1 ^ alt
+    for d in range(n_dev):
+        sel = np.flatnonzero(dest == d)
+        if sel.size == 0:
+            continue
+        cur, pref, ok = _cuckoo_place_np(s1[sel], s2[sel], Sl)
+        if not ok:
+            return entries, False
+        entries[d * Sl + cur] = (
+            (qlow[sel] << np.uint64(15))
+            | (pref.astype(np.uint64) << np.uint64(14))
+            | payload[sel].astype(np.uint64)
+        )
     return entries, True
 
 

@@ -279,22 +279,41 @@ def replicate_table(table, mesh: Mesh):
 
 
 def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
-    """Re-layout ds.table as a slot-range-sharded ShardedCuckoo.
+    """Re-layout ds.table as a prefix-sharded ShardedCuckoo.
 
-    The human-scale path (htab.c:28-33): each device holds 1/n_dev of
-    the spectrum; correction lookups route slot requests over the mesh
-    (spectrum.sharded_cuckoo_lookup).  Requires the cuckoo layout and a
-    power-of-two device count dividing the table; returns False (table
-    left as-is) otherwise - callers then keep the replicated path."""
+    The human-scale path (htab.c:28-33): each device holds an
+    INDEPENDENT cuckoo sub-table over its hash-prefix range of the
+    spectrum; correction lookups route one request per query to the
+    owner (spectrum.sharded_cuckoo_lookup).  Builds the sub-tables on
+    the host from the compact entries (small-scale / restore path; the
+    mesh counting pass builds them distributed on device instead -
+    _finalize_sharded).  Returns False (table left as-is) when the
+    layout does not apply - callers then keep the replicated path."""
+    from ..ops import spectrum_host as sph
+
     n_dev = mesh.shape["d"]
-    entries = getattr(ds.table, "entries", None)
-    if not isinstance(ds.table, spec.CuckooTable):
+    if n_dev & (n_dev - 1):
         return False
-    if n_dev & (n_dev - 1) or entries.shape[0] % n_dev:
+    shard, keybody, payload = ds.compact_entries()
+    db = n_dev.bit_length() - 1
+    kb_bits = ds.kb_bits
+    pk = sph.posk64_np(shard.astype(np.uint32), keybody.astype(np.uint64),
+                       ds.l_pre, kb_bits)
+    dest = (pk >> np.uint64(64 - db)).astype(np.int64) if db else np.zeros(
+        len(pk), np.int64)
+    max_local = int(np.bincount(dest, minlength=n_dev).max()) if len(pk) else 1
+    cb_local = max(8, int(np.ceil(np.log2(max(max_local, 1) * 2.5 + 1))))
+    c_bits = db + cb_local
+    if cb_local > 30 or not spec.cuckoo_ok(c_bits, ds.l_pre, kb_bits):
         return False
-    ds.table = spec.ShardedCuckoo(
-        entries=gput(np.asarray(entries), mesh, P("d"))
+    entries, ok = sph.build_sharded_cuckoo_host(
+        shard.astype(np.uint32), keybody.astype(np.uint64),
+        payload.astype(np.uint32), n_dev, cb_local, ds.l_pre, kb_bits,
     )
+    if not ok:
+        return False
+    ds.table = spec.ShardedCuckoo(entries=gput(entries, mesh, P("d")))
+    ds.s_bits = c_bits  # lookups derive slots from the GLOBAL c_bits
     return True
 
 
@@ -315,19 +334,57 @@ class MeshRef:
 # Mesh counting driver
 # ---------------------------------------------------------------------------
 
-def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
-    """Counting pass sharded over the mesh: reads data-parallel in, the
-    aggregate hash-prefix-sharded out, Bloom adjudication distributed.
-
-    Returns a DeviceSpectrum (table built once from the gathered
-    aggregate and replicated for the correction pass).  Output is
-    bit-identical to the single-device pass: arrival indices stay
-    global, so the sequential-order semantics are preserved."""
+def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192,
+                    shard_table: bool = False):
+    """Counting pass sharded over the mesh from a FASTQ file (native
+    batched reader); see count_encoded_mesh for the core."""
     import numpy as np
 
     from ..io import fast_reader as FR
-    from ..models.counter import _round_up, finalize_spectrum
-    from ..opts import Opts
+    from ..models.counter import _round_up
+
+    def batches():
+        pad_L = 0
+        for rb in FR.iter_batches_prefetch(fn, batch_reads,
+                                           max_bases=opt.chunk_size):
+            n = rb.n
+            pad_L = max(pad_L, _round_up(int(rb.lens.max()) if n else 1, 32))
+            L = pad_L
+            Lc = min(L, rb.bases.shape[1])
+            bases = np.full((batch_reads, L), 4, np.uint8)
+            bases[:n, :Lc] = rb.bases[:, :Lc]
+            lens = np.zeros((batch_reads,), np.int32)
+            lens[:n] = rb.lens
+            qok = np.zeros((batch_reads, L), bool)
+            has_q = rb.has_qual()
+            inb = np.arange(Lc)[None, :] < rb.lens[:, None]
+            qok[:n, :Lc] = np.where(
+                has_q[:, None],
+                rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q, inb,
+            )
+            yield bases, qok, lens
+    return count_encoded_mesh(batches(), opt, mesh, batch_reads=batch_reads,
+                              shard_table=shard_table)
+
+
+def count_encoded_mesh(batch_iter, opt, mesh: Mesh, batch_reads: int = 8192,
+                       shard_table: bool = False):
+    """Counting pass sharded over the mesh: reads data-parallel in, the
+    aggregate hash-prefix-sharded out, Bloom adjudication distributed,
+    and finalize/table-build per prefix range on the owning device
+    (_finalize_sharded) - the full aggregate is never gathered.
+
+    batch_iter yields (bases u8 [batch_reads, L], qok bool, lens i32)
+    encoded batches in stream order (L may grow monotonically).
+
+    With shard_table the spectrum stays a prefix-sharded ShardedCuckoo
+    for correction (the human-scale layout); otherwise the kept compact
+    entries build a replicated table.  Output is bit-identical to the
+    single-device pass either way: arrival indices stay global, so the
+    sequential-order semantics are preserved."""
+    import numpy as np
+
+    from ..models.counter import finalize_spectrum
     from ..utils.log import log
 
     import os
@@ -391,22 +448,9 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         name="count_file_mesh",
     )
 
-    for rb in FR.iter_batches_prefetch(fn, batch_reads, max_bases=opt.chunk_size):
-        n = rb.n
-        n_reads += n
-        pad_L = max(pad_L, _round_up(int(rb.lens.max()) if n else 1, 32))
-        L = pad_L
-        Lc = min(L, rb.bases.shape[1])
-        bases = np.full((batch_reads, L), 4, np.uint8)
-        bases[:n, :Lc] = rb.bases[:, :Lc]
-        lens = np.zeros((batch_reads,), np.int32)
-        lens[:n] = rb.lens
-        qok = np.zeros((batch_reads, L), bool)
-        has_q = rb.has_qual()
-        inb = np.arange(Lc)[None, :] < rb.lens[:, None]
-        qok[:n, :Lc] = np.where(
-            has_q[:, None], rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q, inb
-        )
+    for bases, qok, lens in batch_iter:
+        n_reads += int(np.sum(lens > 0))
+        L = bases.shape[1]
         bases_s = gput(bases, mesh, P("d"))
         qok_s = gput(qok, mesh, P("d"))
         lens_s = gput(lens, mesh, P("d"))
@@ -429,7 +473,8 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
             func="count_file_mesh")
         ds = finalize_spectrum(hacc, opt)
-        ds.table = replicate_table(ds.table, mesh)
+        if not (shard_table and shard_cuckoo_table(ds, mesh)):
+            ds.table = replicate_table(ds.table, mesh)
         return ds
     if acc is None:
         from ..models.counter import count_stream
@@ -449,39 +494,138 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192):
         log(f"adjudication bucket overflow; retrying with slack {ev_slack}",
             func="count_file_mesh")
         assert ev_slack <= 64, "adjudication bucket overflow beyond 64x slack"
-    # fold the fp verdicts into the aggregate, then finalize once
-    # globally (the finalize re-runs its own adjudication; zero out the
-    # first-occurrence contribution instead by adjusting n/n_high)
-    ds = _finalize_sharded(agg, fp, opt)
-    ds.table = replicate_table(ds.table, mesh)
+    # distributed finalize: payloads + table per prefix range on its
+    # owning device; nothing gathers unless the replicated layout asks
+    ds, sharded = _finalize_sharded(agg, fp, opt, mesh, shard_table)
+    if not sharded:
+        ds.table = replicate_table(ds.table, mesh)
     return ds
 
 
-def _finalize_sharded(agg: spec.Aggregate, fp, opt):
-    """Payloads + table from a prefix-sharded aggregate and fp verdicts."""
-    import numpy as np
+@functools.partial(jax.jit, static_argnames=("mesh_ref",))
+def _payloads_sharded(agg: spec.Aggregate, fp, mesh_ref):
+    """Per-device payloads + keep-compaction + histograms, all local.
 
-    from ..models.counter import DeviceSpectrum, _mode_from_hist
-    from ..ops import kmer as kops
+    Every step of the reference's hash finalization (htab.c:77-78,
+    110-127) runs on the shard owner; nothing is gathered.  Returns
+    device-blocked (shard_c, keybody_c, payload_c) compact arrays
+    (padding: INVALID/0/0), per-device kept counts and histograms."""
+    mesh = mesh_ref.mesh
+
+    def step(shard, keybody, n, n_high, first_high, fp):
+        shard = shard.reshape(-1)
+        keybody = keybody.reshape(-1)
+        n = n.reshape(-1)
+        n_high = n_high.reshape(-1)
+        first_high = first_high.reshape(-1)
+        fp = fp.reshape(-1).astype(U32)
+        valid = shard != spec.INVALID_SHARD
+        m = n - 1 + fp
+        high = n_high - (1 - fp) * first_high
+        keep = valid & (m >= 1)
+        count = jnp.minimum(m, 255)
+        high = jnp.minimum(high, 63)
+        payload = jnp.where(keep, count | (high << 8), U32(0))
+        order = spec.stable_order((~keep).astype(U32))
+        keep_s = keep[order]
+        shard_c = jnp.where(keep_s, shard[order], spec.INVALID_SHARD)
+        kb_c = jnp.where(keep_s, keybody[order], U64(0))
+        pl_c = jnp.where(keep_s, payload[order], U32(0))
+        cnt = jnp.sum(keep, dtype=jnp.int32)
+        hist = jnp.bincount(jnp.where(keep, count, U32(0)), length=256)
+        hist = hist.at[0].set(0)
+        hist_high = jnp.bincount(jnp.where(keep, high, U32(0)), length=64)
+        hist_high = hist_high.at[0].set(jnp.sum(keep & (high == 0)))
+        return (shard_c[None], kb_c[None], pl_c[None], cnt[None],
+                hist[None], hist_high[None])
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=tuple([P("d")] * 6),
+        out_specs=tuple([P("d")] * 6),
+    )(agg.shard, agg.keybody, agg.n, agg.n_high, agg.first_high, fp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_bits", "cb_local", "l_pre", "kb_bits",
+                              "mesh_ref")
+)
+def _build_sharded_table(shard_c, kb_c, pl_c, c_bits: int, cb_local: int,
+                         l_pre: int, kb_bits: int, mesh_ref):
+    mesh = mesh_ref.mesh
+
+    def step(shard, keybody, payload):
+        entries, ok = spec.cuckoo_build_local(
+            shard.reshape(-1), keybody.reshape(-1), payload.reshape(-1),
+            c_bits, cb_local, l_pre, kb_bits, axis_name="d",
+        )
+        return entries[None], ok[None]
+
+    entries, oks = shard_map(
+        step, mesh=mesh, in_specs=(P("d"), P("d"), P("d")),
+        out_specs=(P("d"), P("d")),
+    )(shard_c, kb_c, pl_c)
+    # flatten [n_dev, Sl] -> [n_dev * Sl]: block-contiguous, so the
+    # sharding is preserved without data movement (ShardedCuckoo's
+    # global layout; shard_map consumers see a [Sl] local block)
+    return entries.reshape(-1), oks
+
+
+def _finalize_sharded(agg: spec.Aggregate, fp, opt, mesh: Mesh,
+                      shard_table: bool):
+    """Distributed finalize: payloads, histograms, and the lookup table
+    are all built per hash-prefix range on the range's owning device -
+    the full aggregate is NEVER gathered to a host (the reference's
+    sizing wall, 67-84 GB on one node, tex/bfc.tex:188-189, removed).
+
+    Returns (DeviceSpectrum, sharded: bool).  With shard_table, the
+    table stays a prefix-sharded ShardedCuckoo built on device
+    (spectrum.cuckoo_build_local) and only O(n_dev) counters plus the
+    [256] histograms cross to the host; otherwise the KEPT compact
+    entries (typically 5-10x smaller than the aggregate) are gathered
+    once for the replicated-table build."""
+    from ..models.counter import (DeviceSpectrum, _mode_from_hist,
+                                  _spectrum_from_sorted)
 
     k = opt.k
     l_pre = opt.effective_l_pre()
-    a_shard = to_host(agg.shard)
-    valid = a_shard != 0xFFFFFFFF
-    fp_np = to_host(fp).astype(np.uint32)
-    n_occ = to_host(agg.n)
-    m = n_occ - 1 + fp_np
-    high = to_host(agg.n_high) - (1 - fp_np) * to_host(agg.first_high)
-    keep = valid & (m >= 1)
-    count = np.minimum(m, 255).astype(np.uint32)
-    high = np.minimum(high, 63).astype(np.uint32)
-    payload = (count | (high << 8)) * keep
-    shard = a_shard[keep]
-    keybody = to_host(agg.keybody)[keep]
-    payload = payload[keep]
-    order = np.lexsort((keybody, shard))
-    from ..models.counter import _spectrum_from_sorted
-
-    return _spectrum_from_sorted(
-        shard[order], keybody[order], payload[order].astype(np.uint32), k, l_pre
+    kb_bits = kops.keybody_bits(k, l_pre)
+    mref = MeshRef(mesh)
+    n_dev = mesh.shape["d"]
+    shard_c, kb_c, pl_c, cnts, hist, hist_high = _payloads_sharded(
+        agg, fp, mref
     )
+    cnts_np = to_host(cnts)
+    hist_np = to_host(hist).sum(axis=0)
+    hist_np[0] = 0
+    hh_np = to_host(hist_high).sum(axis=0)
+    total = int(cnts_np.sum())
+    mode = _mode_from_hist(hist_np)
+
+    def lazy_compact():
+        sh = to_host(shard_c).reshape(-1)
+        valid = sh != 0xFFFFFFFF
+        return (
+            sh[valid],
+            to_host(kb_c).reshape(-1)[valid],
+            to_host(pl_c).reshape(-1)[valid].astype(np.uint32),
+        )
+
+    if shard_table and n_dev & (n_dev - 1) == 0:
+        db = n_dev.bit_length() - 1
+        max_local = int(cnts_np.max()) if len(cnts_np) else 1
+        cb_local = max(8, int(np.ceil(np.log2(max(max_local, 1) * 2.5 + 1))))
+        c_bits = db + cb_local
+        if cb_local <= 30 and spec.cuckoo_ok(c_bits, l_pre, kb_bits):
+            entries, oks = _build_sharded_table(
+                shard_c, kb_c, pl_c, c_bits, cb_local, l_pre, kb_bits, mref
+            )
+            if bool(jnp.all(oks)):
+                table = spec.ShardedCuckoo(entries=entries)
+                ds = DeviceSpectrum(
+                    table, k, l_pre, c_bits, total, hist_np, hh_np, mode,
+                    compact=lazy_compact, packed=False,
+                )
+                return ds, True
+    sh, kb, pl = lazy_compact()
+    return _spectrum_from_sorted(sh, kb, pl, k, l_pre), False

@@ -51,11 +51,24 @@ def main(argv=None) -> int:
                     help="reads to push through correction (full set takes "
                          "hours; throughput is batch-stationary)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="devices: sharded counting + distributed finalize + "
+                         "prefix-sharded table + sharded-table correction "
+                         "(the human-scale layout; nothing gathers the "
+                         "aggregate or the table to one host)")
     args = ap.parse_args(argv)
+
+    import os
 
     import jax
 
     if args.cpu:
+        if args.mesh and "xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
@@ -102,35 +115,66 @@ def main(argv=None) -> int:
 
     # ---- counting -------------------------------------------------------
     n_batches = n_reads // B
-    builder = C.AggBuilder(opt)
-    t0 = time.time()
-    t_log = t0
-    for bi in range(n_batches):
-        mat, qok, lens, _ = gen_batch(1000 + bi)
-        builder.add(mat, qok, lens)
-        if time.time() - t_log > 60:
-            t_log = time.time()
-            done = (bi + 1) * B
-            print(f"[hs] counted {done/1e6:.1f}M reads "
-                  f"({done/(t_log-t0):.0f} reads/s) rss={rss_gb():.2f}GB "
-                  f"dev={dev_mem_gb()}", flush=True)
-    t_add = time.time() - t0
-    print(f"[hs] aggregation: {n_batches*B/1e6:.1f}M reads in {t_add:.1f}s = "
-          f"{n_batches*B/t_add:.0f} reads/s dev={dev_mem_gb()}", flush=True)
-    t0 = time.time()
-    agg = builder.finish()
-    print(f"[hs] finish (device merge + pull): {time.time()-t0:.1f}s "
-          f"rss={rss_gb():.2f}GB", flush=True)
-    t0 = time.time()
-    ds = C.finalize_spectrum(agg, opt)
-    t_fin = time.time() - t0
-    print(f"[hs] finalize: {ds.n_entries/1e6:.1f}M distinct k-mers in "
-          f"{t_fin:.1f}s rss={rss_gb():.2f}GB dev={dev_mem_gb()}", flush=True)
+    mesh = None
+    if args.mesh:
+        from bfc_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(args.mesh)
+        print(f"[hs] mesh: {args.mesh} devices, sharded counting + "
+              f"distributed finalize + prefix-sharded table", flush=True)
+
+        def batches():
+            t_log = [time.time()]
+            for bi in range(n_batches):
+                mat, qok, lens, _ = gen_batch(1000 + bi)
+                yield mat, qok, lens
+                if time.time() - t_log[0] > 60:
+                    t_log[0] = time.time()
+                    print(f"[hs] counted {(bi+1)*B/1e6:.1f}M reads "
+                          f"rss={rss_gb():.2f}GB dev={dev_mem_gb()}",
+                          flush=True)
+
+        t0 = time.time()
+        ds = pmesh.count_encoded_mesh(batches(), opt, mesh, batch_reads=B,
+                                      shard_table=True)
+        t_fin = time.time() - t0
+        from bfc_tpu.ops import spectrum as spec
+
+        sharded = isinstance(ds.table, spec.ShardedCuckoo)
+        print(f"[hs] mesh count+finalize: {ds.n_entries/1e6:.1f}M distinct "
+              f"k-mers in {t_fin:.1f}s, table "
+              f"{'PREFIX-SHARDED (no host gather)' if sharded else 'replicated'}"
+              f" rss={rss_gb():.2f}GB dev={dev_mem_gb()}", flush=True)
+    else:
+        builder = C.AggBuilder(opt)
+        t0 = time.time()
+        t_log = t0
+        for bi in range(n_batches):
+            mat, qok, lens, _ = gen_batch(1000 + bi)
+            builder.add(mat, qok, lens)
+            if time.time() - t_log > 60:
+                t_log = time.time()
+                done = (bi + 1) * B
+                print(f"[hs] counted {done/1e6:.1f}M reads "
+                      f"({done/(t_log-t0):.0f} reads/s) rss={rss_gb():.2f}GB "
+                      f"dev={dev_mem_gb()}", flush=True)
+        t_add = time.time() - t0
+        print(f"[hs] aggregation: {n_batches*B/1e6:.1f}M reads in {t_add:.1f}s = "
+              f"{n_batches*B/t_add:.0f} reads/s dev={dev_mem_gb()}", flush=True)
+        t0 = time.time()
+        agg = builder.finish()
+        print(f"[hs] finish (device merge + pull): {time.time()-t0:.1f}s "
+              f"rss={rss_gb():.2f}GB", flush=True)
+        t0 = time.time()
+        ds = C.finalize_spectrum(agg, opt)
+        t_fin = time.time() - t0
+        print(f"[hs] finalize: {ds.n_entries/1e6:.1f}M distinct k-mers in "
+              f"{t_fin:.1f}s rss={rss_gb():.2f}GB dev={dev_mem_gb()}", flush=True)
     if args.count_only:
         return 0
 
     # ---- correction -----------------------------------------------------
-    corr = DC.Corrector(opt, ds)
+    corr = DC.Corrector(opt, ds, mesh=mesh)
     n_corr = min(int(args.correct_reads), n_reads)
     ncb = max(n_corr // B, 1)
     WINDOW = 4
