@@ -126,8 +126,14 @@ def _kh_n_buckets(size: int) -> int:
 
 
 def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
-                          payload: np.ndarray, k: int, l_pre: int) -> DeviceSpectrum:
-    """Build a DeviceSpectrum from host-sorted compact entries."""
+                          payload: np.ndarray, k: int, l_pre: int,
+                          c_bits_hint: int = 0) -> DeviceSpectrum:
+    """Build a DeviceSpectrum from host-sorted compact entries.
+
+    c_bits_hint (from Opts.predicted_c_bits) rounds the cuckoo table UP
+    to a size knowable before counting ran, so a cold-start prewarm
+    compiled against the predicted shape hits the jit cache; a bigger
+    table never changes lookups, only its HBM footprint."""
     from ..ops import spectrum_host as sph
 
     n = len(shard)
@@ -137,7 +143,7 @@ def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
     # prefer the two-choice cuckoo layout: every lookup is exactly two
     # single-element gathers with no continuation round (the lookup
     # gather is the dominant per-iteration cost of the search)
-    c_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2.5 + 1))))
+    c_bits = max(8, int(np.ceil(np.log2(max(n, 1) * 2.5 + 1))), c_bits_hint)
     if spec.cuckoo_ok(c_bits, l_pre, kb_bits):
         entries, ok = sph.build_cuckoo_table_host(
             shard.astype(np.uint32), keybody.astype(np.uint64),
@@ -591,7 +597,8 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
             agg, opt.bf_shift, opt.n_hashes, k=k, l_pre=l_pre
         )
         t1 = time.time()
-        ds = _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre)
+        ds = _spectrum_from_sorted(shard_c, keybody_c, payload_c, k, l_pre,
+                                   c_bits_hint=opt.predicted_c_bits())
         TAIL_TIMINGS["adjudicate"] = round(t1 - t0, 2)
         TAIL_TIMINGS["table"] = round(time.time() - t1, 2)
         log(f"# distinct k-mers in table: {len(shard_c)} "

@@ -207,6 +207,73 @@ def _refine_batch(rb, opt: Opts, corr: Corrector, out: List[str],
         format_corrected(r, opt.no_qual, False, opt.discard, out)
 
 
+def _prewarm_async(opt: Opts, count_fn: str, batch_reads: int):
+    """Compile the correction programs DURING the counting stream.
+
+    The search jit takes minutes on a v5e while the reference binary
+    starts in milliseconds (bfc.c:77); with -s given, the cuckoo-table
+    size is predictable (Opts.predicted_c_bits) and the read length is
+    peeked from the input, so both hot programs can compile on a
+    background thread while counting streams - cold process to first
+    corrected read drops from counting+compile to ~max(counting,
+    compile).  Compilation is pure host work; the thread is niced so it
+    only uses cycles the device stream leaves idle."""
+    import os
+    import threading
+
+    c_bits = opt.predicted_c_bits()
+    if (os.environ.get("BFC_TPU_PREWARM", "1") != "1" or not c_bits
+            or count_fn == "-" or not os.path.isfile(count_fn)):
+        return None
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast and on-demand; a background compile
+        # racing a foreground one can abort XLA-CPU (see
+        # counter._prefetch_ladder) - this is a TPU-latency tool
+        return None
+    try:  # peek the first read's length (uniform-length data in practice)
+        first = next(read_fastx(count_fn), None)
+    except Exception:
+        return None
+    if first is None:
+        return None
+    read_len = len(first.seq)
+    if read_len > 504:
+        return None  # long reads take the scalar path; nothing to warm
+
+    def bg():
+        try:
+            try:
+                os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 10)
+            except Exception:
+                pass
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..ops import kmer as kops
+            from ..ops import spectrum as spec
+
+            l_pre = opt.effective_l_pre()
+            kb_bits = kops.keybody_bits(opt.k, l_pre)
+            if not spec.cuckoo_ok(c_bits, l_pre, kb_bits):
+                return
+            dummy = DeviceSpectrum(
+                spec.CuckooTable(entries=jnp.zeros((1 << c_bits,), jnp.uint64)),
+                opt.k, l_pre, c_bits, 0,
+                np.zeros(256, np.int64), np.zeros(64, np.int64), -1,
+                compact=(np.zeros(0, np.uint32), np.zeros(0, np.uint64),
+                         np.zeros(0, np.uint32)),
+            )
+            Corrector(opt, dummy).prewarm(batch_reads, read_len=read_len)
+        except Exception:
+            pass  # prediction missed or backend quirk: normal compile path
+
+    t = threading.Thread(target=bg, daemon=True, name="bfc-prewarm")
+    t.start()
+    return t
+
+
 def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
                in_hash: Optional[str] = None, out_hash: Optional[str] = None,
                no_ec: bool = False, batch_reads: int = 8192,
@@ -243,6 +310,10 @@ def run_device(opt: Opts, count_fn: str, correct_fn: Optional[str] = None,
         trimmer = Trimmer(opt, bf_high)
         trimmer.trim_file(next_fn, out)
     else:
+        if (not no_ec and in_hash is None and mesh is None
+                and not opt.refine_ec):
+            # cold-start: compile the correction programs while counting
+            _prewarm_async(opt, count_fn, batch_reads)
         if in_hash is not None:
             ds = restore_spectrum(in_hash)
             opt.k = ds.k

@@ -321,6 +321,12 @@ def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3, valid=None):
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
     no_ovf = jnp.zeros((), bool)
+    import os
+
+    if os.environ.get("BFC_TPU_PROBE_NO_OCC", "0") == "1":
+        # measurement-only (trace-time): skip the table gathers entirely
+        # (garbage results) to expose the gather share of the trip time
+        return (q_shard.astype(jnp.int32) & 0xFF) | 0x700, no_ovf
     if isinstance(table, spec.ShardedCuckoo):
         return spec.sharded_cuckoo_lookup(
             table, q_shard, q_kb, cfg.s_bits, cfg.l_pre, cfg.kb_bits,

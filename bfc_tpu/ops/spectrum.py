@@ -514,6 +514,16 @@ def cuckoo_ok(c_bits: int, l_pre: int, kb_bits: int) -> bool:
     return identity_bits(l_pre, kb_bits) - c_bits <= 49
 
 
+def _fused_probe() -> bool:
+    """Fuse the two cuckoo probe gathers into ONE gather op over the
+    concatenated indices: halves the per-op overhead per search trip at
+    the cost of losing the two-op overlap.  Read at TRACE time so probe
+    sessions can flip it between (distinct) jit configs."""
+    import os
+
+    return os.environ.get("BFC_TPU_FUSED_PROBE", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("c_bits", "l_pre", "kb_bits"))
 def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
                   l_pre: int, kb_bits: int):
@@ -524,8 +534,14 @@ def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
     qlow = _id_low(q_shard, q_keybody, l_pre, kb_bits, c_bits)
     alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int64)
     s2 = s1 ^ alt
-    e1 = table.entries[s1]
-    e2 = table.entries[s2]
+    if _fused_probe():
+        shp = s1.shape
+        e12 = table.entries[jnp.stack([s1.reshape(-1), s2.reshape(-1)])]
+        e1 = e12[0].reshape(shp)
+        e2 = e12[1].reshape(shp)
+    else:
+        e1 = table.entries[s1]
+        e2 = table.entries[s2]
 
     def match(e, nest):
         return (

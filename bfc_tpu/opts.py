@@ -57,6 +57,10 @@ class Opts:
     # --- TPU execution knobs (no reference counterpart) ---
     batch_reads: int = 8192     # reads corrected in lockstep per device step
     verbose: int = 3
+    genome_size: int = 0        # approximate genome size when -s was given
+                                # (enables table-size prediction so the
+                                # correction programs compile DURING the
+                                # counting stream - the cold-start story)
 
     def apply_genome_size(self, size: int) -> None:
         """Auto-derive k and bf_shift from an approximate genome size.
@@ -70,6 +74,20 @@ class Opts:
             self.k += 1
         self.k = min(self.k, BFC_MAX_KMER)
         self.bf_shift = min(int(bits + 8.0), BFC_MAX_BF_SHIFT)
+        self.genome_size = int(size)
+
+    def predicted_c_bits(self) -> int:
+        """Cuckoo-table size prediction from the genome size (0 = none).
+
+        Kept distinct k-mers run ~1-1.5x the genome size (genomic k-mers
+        plus recurring error k-mers), and the cuckoo build wants load
+        <= 0.4, so 4x headroom makes the prediction an upper bound in
+        practice.  Predicting the table size makes the search jit's
+        static shape known BEFORE counting finishes - the cold-start
+        prewarm compiles the correction programs during the stream."""
+        if not self.genome_size:
+            return 0
+        return max(8, math.ceil(math.log2(self.genome_size * 4 + 1)))
 
     def effective_l_pre(self) -> int:
         """Shard-count clamp so the in-bucket key fits 50 bits.

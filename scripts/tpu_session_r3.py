@@ -22,6 +22,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, "/root/repo")
+
 RESULTS: dict = {}
 
 

@@ -95,6 +95,75 @@ def test_single_device_lsm_spill_byte_exact(tmp_path, monkeypatch):
     assert mine.encode() == ref_out
 
 
+def test_packed_pull_matches_unpacked():
+    """pack_pull + packed_run_to_host_agg == run_to_host_agg on every
+    payload-visible field (n/n_high saturate at 511/127, above every
+    payload threshold; small counts here stay exact)."""
+    import numpy as np
+
+    from bfc_tpu.models.counter import AggBuilder
+    from bfc_tpu.ops import kmer as kops
+
+    opt = _opts(17, 22)
+    b = AggBuilder(opt)
+    seqs = ["ACGTACGTACGTACGTACGTAGGCA", "TTGCACGTACGTACGTACGTACGTA"] * 6
+    bases, qok, lens = kops.encode_batch(seqs, None, opt.q, pad_to=32)
+    b.add(bases, qok, lens)
+    planes, g = b._pending
+    cnt = int(g)
+    want = b.sdn.run_to_host_agg(
+        [np.asarray(p[:cnt]) for p in planes], cnt, b.k, b.l_pre
+    )
+    got = b._run_to_host((planes, cnt))
+    for f in ("shard", "keybody", "n", "n_high", "first_arr", "first_high"):
+        np.testing.assert_array_equal(
+            getattr(want, f), getattr(got, f), err_msg=f
+        )
+    # ret is derivable here: dropped from the merge chain (None)
+    assert got.ret is None
+    from bfc_tpu.ops.spectrum_dense import derive_ret_np
+
+    np.testing.assert_array_equal(
+        want.ret, derive_ret_np(got.shard, got.keybody, b.k, b.l_pre)
+    )
+
+
+def test_lsm_eager_spill_order_and_content():
+    """Eager spill of merge-dead levels must preserve oldest-first span
+    order: the tree's final aggregate equals the no-eager tree's."""
+    from bfc_tpu.ops.lsm import LsmTree
+
+    def mk(eager):
+        # runs are (sorted list of (key, arrival), count)
+        def merge(a, b):
+            if max(len(a[0]), len(b[0])) > 4:
+                return None
+            m = sorted(a[0] + b[0])
+            return (m, len(m))
+
+        def to_host(run):
+            return list(run[0])
+
+        def host_merge(a, b):
+            # the LSM contract: `a` covers the strictly earlier span
+            assert a[-1] < b[0], "span order violated"
+            return a + b
+
+        return LsmTree(merge=merge, to_host=to_host, host_merge=host_merge,
+                       size=lambda r: r[1], eager_min=4 if eager else 0)
+
+    runs = [([(i, i)], 1) for i in range(37)]
+    out = []
+    for eager in (False, True):
+        t = mk(eager)
+        for r in runs:
+            t.push(r)
+        acc, hacc = t.finish()
+        assert acc is None
+        out.append(hacc)
+    assert out[0] == out[1]
+
+
 def test_pull_run_carries_high_arrival_plane():
     """_pull_run skips the first_arr high-u32 plane only while it is
     provably zero (stream < 2^32 bases); past that it must transfer it."""
