@@ -77,24 +77,48 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     n_n = jnp.sum((ob > 3) & inb, axis=1)
     many_n = n_n.astype(jnp.float64) > lens.astype(jnp.float64) * 0.05
 
+    # window planes computed ONCE: kcov, the greedy island hops, and the
+    # search precompute all share them (the log2(k) window packing costs
+    # ~ms per [B,L] recompute and used to run once per greedy trip)
+    planes = kops.kmer_planes(seq_b, k)
     solid_end, high_end, lcov, hcov, occv, kovf = ann.kcov_batch(
         table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov,
-        cfg.axis_name, cfg.n_dev, slack=cfg.route_slack,
+        cfg.axis_name, cfg.n_dev, slack=cfg.route_slack, planes=planes,
     )
     isl_start, isl_end, isl_found = ann.best_island_batch(solid_end, lens, k)
 
     # ---- greedy fallback for reads with no solid k-mer (correct.c:406-421)
+    #
+    # POOLED: no-island reads are rare (~0.1-1%), but the island-hop
+    # loop used to probe 4k candidates for EVERY lane per hop - measured
+    # 280 ms/batch, 43% of the device step, nearly all of it the
+    # [B,4k]-element probe gathers.  The loop now runs on a fixed
+    # G-lane pool of the needy reads (1-D flat gathers/scatters, the
+    # vectorized fast path); reads beyond the pool take the exact
+    # scalar fallback (the overflow contract, byte-identical).
     need_greedy = ~many_n & ~isl_found
+    import os as _os
+
+    if _os.environ.get("BFC_TPU_PROBE_NO_GREEDY", "0") == "1":
+        # measurement-only (trace-time): skip the greedy loop entirely
+        # to expose its share of the per-batch fixed cost
+        need_greedy = need_greedy & False
+    G = min(1024, B)
+    ordg = spec.stable_order((~need_greedy).astype(jnp.uint32))
+    pool_ids = ordg[:G].astype(I32)
+    pool_on = need_greedy[pool_ids]
+    in_pool = jnp.zeros((B,), bool).at[pool_ids].set(pool_on)
+    pool_lens = lens[pool_ids]
     g_start = jnp.zeros((B,), I32)
-    g_ec = jnp.full((B,), -1, I32)
-    g_end = jnp.zeros((B,), I32)
-    g_active = need_greedy
+    g_ec_p = jnp.full((G,), -1, I32)
+    g_end_p = jnp.zeros((G,), I32)
+    p_active = pool_on
     g_ovf = jnp.zeros((), bool)
     if cfg.axis_name:
         # constants must be marked device-varying to match the loop
         # body's outputs under shard_map
-        g_start, g_ec, g_end, g_ovf = srch._pvary_all(
-            (g_start, g_ec, g_end, g_ovf), cfg.axis_name
+        g_start, g_ec_p, g_end_p, g_ovf = srch._pvary_all(
+            (g_start, g_ec_p, g_end_p, g_ovf), cfg.axis_name
         )
 
     def _gany(act):
@@ -110,29 +134,44 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         return c[5]
 
     def g_body(c):
-        g_active, g_start, g_ec, g_end, g_ovf, _ = c
-        end_pos, x0, x1, x2, x3, found = ann.first_kmer_batch(seq_b, lens, g_start, k)
+        p_active, g_start, g_ec_p, g_end_p, g_ovf, _ = c
+        end_pos, x0, x1, x2, x3, found = ann.first_kmer_batch(
+            seq_b, lens, g_start, k, planes=planes
+        )
+        pe = end_pos[pool_ids]
+        pf = found[pool_ids]
         ec, ovf1 = ann.greedy_k_batch(
-            table, x0, x1, x2, x3, mode, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits,
+            table, x0[pool_ids], x1[pool_ids], x2[pool_ids], x3[pool_ids],
+            mode, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits,
             cfg.axis_name, cfg.n_dev, slack=cfg.route_slack,
-            valid=g_active & found,
+            valid=p_active & pf,
         )
         g_ovf = g_ovf | ovf1
-        ec = jnp.where(found, ec, -1)
-        hit = g_active & found & (ec >= 0)
-        g_ec = jnp.where(hit, ec, g_ec)
-        g_end = jnp.where(g_active, end_pos, g_end)
-        stop = g_active & (~found | hit | (end_pos + (k >> 1) >= lens))
-        g_start = jnp.where(g_active & ~stop, end_pos - (k >> 1), g_start)
-        g_active = g_active & ~stop
-        return g_active, g_start, g_ec, g_end, g_ovf, _gany(g_active)
+        ec = jnp.where(pf, ec, -1)
+        hit = p_active & pf & (ec >= 0)
+        g_ec_p = jnp.where(hit, ec, g_ec_p)
+        g_end_p = jnp.where(p_active, pe, g_end_p)
+        stop = p_active & (~pf | hit | (pe + (k >> 1) >= pool_lens))
+        adv = p_active & ~stop
+        g_start = g_start.at[jnp.where(adv, pool_ids, B)].set(
+            jnp.where(adv, pe - (k >> 1), 0), mode="drop"
+        )
+        p_active = p_active & ~stop
+        return p_active, g_start, g_ec_p, g_end_p, g_ovf, _gany(p_active)
 
-    g_active, g_start, g_ec, g_end, g_ovf, _ = jax.lax.while_loop(
+    p_active, g_start, g_ec_p, g_end_p, g_ovf, _ = jax.lax.while_loop(
         g_cond, g_body,
-        (g_active, g_start, g_ec, g_end, g_ovf, _gany(g_active)),
+        (p_active, g_start, g_ec_p, g_end_p, g_ovf, _gany(p_active)),
+    )
+    g_ec = jnp.full((B,), -1, I32).at[pool_ids].set(
+        jnp.where(pool_on, g_ec_p, -1)
+    )
+    g_end = jnp.zeros((B,), I32).at[pool_ids].set(
+        jnp.where(pool_on, g_end_p, 0)
     )
     greedy_ok = need_greedy & (g_ec >= 0)
-    no_solid = need_greedy & ~greedy_ok
+    no_solid = need_greedy & ~greedy_ok & in_pool
+    pool_miss = need_greedy & ~in_pool  # pool overflow: scalar fallback
     # apply the greedy fix: seq[end - (ec>>2)].b = ec&3 (correct.c:415)
     fix_pos = jnp.where(greedy_ok, g_end - (g_ec >> 2), L + 1)
     seq_fix = seq_b.at[r, fix_pos].set(
@@ -281,7 +320,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     # ov1 is masked by ok0: a fused-mode direction-2 overflow on a lane
     # whose forward pass already failed is discarded, matching the
     # non-fused path where direction 2 never runs there
-    overflow = ((ov0 | (ov1 & ok0)) & searchable) | kovf | g_ovf
+    overflow = ((ov0 | (ov1 & ok0)) & searchable) | kovf | g_ovf | pool_miss
     # scalar routing-bucket overflow: the driver retries the whole batch
     # with doubled slack (compiled once per slack) before any per-read
     # scalar fallback (count.c:42-52 insbuf retry ethos)

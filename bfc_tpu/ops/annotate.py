@@ -25,6 +25,12 @@ def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
     """Returns (occ, overflow-scalar); see search._occ_of."""
     q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
     no_ovf = jnp.zeros((), bool)
+    import os
+
+    if os.environ.get("BFC_TPU_PROBE_NO_ANN_OCC", "0") == "1":
+        # measurement-only (trace-time): expose the kcov/greedy gather
+        # share of the per-batch fixed cost on real hardware
+        return (q_shard.astype(jnp.int32) & 0xFF) | 0x700, no_ovf
     if isinstance(table, spec.ShardedCuckoo):
         return spec.sharded_cuckoo_lookup(
             table, q_shard, q_kb, s_bits, l_pre, kb_bits, axis_name, n_dev,
@@ -42,13 +48,13 @@ def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
     "slack"))
 def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int,
                min_cov: int, axis_name: str = "", n_dev: int = 1,
-               slack: int = 2):
+               slack: int = 2, planes=None):
     """Per-base solid coverage annotation (bfc_ec_kcov, correct.c:96-117).
 
     Returns (solid_end, high_end, lcov, hcov, occ, ovf) where occ is the
     raw per-position k-mer payload (-1 absent) reused by later stages."""
     B, L = seq_b.shape
-    x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
+    x0, x1, x2, x3 = planes if planes is not None else kops.kmer_planes(seq_b, k)
     valid = kops.valid_kmer_mask(seq_b, lens, k)
     _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
     occ, ovf = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1,
@@ -104,12 +110,15 @@ def best_island_batch(solid_end, lens, k: int):
     return jnp.where(found, start, 0), jnp.where(found, best, 0), found
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def first_kmer_batch(seq_b, lens, start, k: int):
+def first_kmer_batch(seq_b, lens, start, k: int, planes=None):
     """First full k-mer at/after start (bfc_ec_first_kmer, correct.c:82-94).
 
     Returns (end_pos, x0, x1, x2, x3, found): end_pos is the index of
-    the k-mer's last base (== n when absent)."""
+    the k-mer's last base (== n when absent).  Pass `planes` (the
+    kmer_planes of seq_b) when calling inside a loop - the window
+    packing is position-independent and measured at ~ms per [B,L]
+    recompute; plane extraction uses FLAT gathers (the vectorized fast
+    path; a [B]-row 2-D gather serializes per element)."""
     B, L = seq_b.shape
     idx = jnp.arange(L, dtype=jnp.int32)
     bad = (seq_b > 3) | (idx[None, :] >= lens[:, None]) | (idx[None, :] < start[:, None])
@@ -120,12 +129,15 @@ def first_kmer_batch(seq_b, lens, start, k: int):
     ok = (run >= k) & (idx[None, :] < lens[:, None])
     end_pos = jnp.argmax(ok, axis=-1).astype(I32)
     found = jnp.any(ok, axis=-1)
-    x0, x1, x2, x3 = kops.kmer_planes(seq_b, k)
+    if planes is None:
+        planes = kops.kmer_planes(seq_b, k)
+    x0, x1, x2, x3 = planes
     r = jnp.arange(B, dtype=jnp.int32)
-    pc = jnp.where(found, end_pos, 0)
+    flat = r * L + jnp.where(found, end_pos, 0)
     return (
         jnp.where(found, end_pos, lens),
-        x0[r, pc], x1[r, pc], x2[r, pc], x3[r, pc],
+        x0.reshape(-1)[flat], x1.reshape(-1)[flat],
+        x2.reshape(-1)[flat], x3.reshape(-1)[flat],
         found,
     )
 

@@ -117,7 +117,14 @@ def _he_k(he):
 
 
 class State(NamedTuple):
-    hp: jax.Array       # i32 [B,H] packed heap entries
+    # the heap is stored SPLIT: hp16 holds entries [0,16) (p99 heap size
+    # is 4, so nearly every push/pop runs entirely inside it) and hpr
+    # the cold tail [16,H).  Measured: rebuilding one [B,128] array per
+    # heap op via concatenate cost ~0.8 ms/trip at B=16k - the split
+    # keeps the hot ops on a [B,16] array and touches hpr only in the
+    # rare deep-sift cond branch.
+    hp16: jax.Array     # i32 [B,16] packed heap entries (hot window)
+    hpr: jax.Array      # i32 [B,H-16] packed heap entries (cold tail)
     heap_n: jax.Array   # i32 [B]
     # stack pool (ecstack1_t + the per-state payload)
     st_meta: jax.Array  # i32 [B,S]: i<<16 | (parent+1)<<6 | b<<4 | flags
@@ -209,30 +216,32 @@ def heap_push(st: State, he, mask) -> State:
     """ks_heapup insert of a packed entry (ksort.h:137-146).
 
     Lanes inserting at position < 16 (p99 heap size is 4) run the whole
-    sift on a [B,16] slice - the one-hot passes are bandwidth-bound, so
-    the slice costs 1/8 of a full [B,128] pass; 4 sliced levels fully
-    resolve any sift within the window.  Rare larger heaps take a full
-    7-level phase under a cond."""
+    sift on the [B,16] hot window - 4 sliced levels fully resolve any
+    sift within it, and the cold tail hpr is untouched.  Rare larger
+    heaps take a full 7-level phase under a cond (the only place the
+    split heap is ever reassembled)."""
     B = he.shape[0]
-    H = st.hp.shape[1]
+    H = H_SLICE + st.hpr.shape[1]
     k0 = jnp.where(mask, st.heap_n, 0)
     pen = _he_pen(he)
     small = k0 < H_SLICE
     m_s = mask & small
-    hp16 = jax.lax.slice(st.hp, (0, 0), (B, H_SLICE))
-    hp16, k_s, _ = _sift_up(hp16, jnp.minimum(k0, H_SLICE - 1), pen, m_s, 4)
+    hp16, k_s, _ = _sift_up(st.hp16, jnp.minimum(k0, H_SLICE - 1), pen, m_s, 4)
     hp16 = _hset(hp16, k_s, he, m_s)
-    hp = jnp.concatenate(
-        [hp16, jax.lax.slice(st.hp, (0, H_SLICE), (B, H))], axis=1
-    )
     m_l = mask & ~small
 
-    def full(hpf):
+    def full(ops):
+        h16, hr = ops
+        hpf = jnp.concatenate([h16, hr], axis=1)
         hpf, k_l, _ = _sift_up(hpf, k0, pen, m_l, HEAP_LEVELS)
-        return _hset(hpf, k_l, he, m_l)
+        hpf = _hset(hpf, k_l, he, m_l)
+        return hpf[:, :H_SLICE], hpf[:, H_SLICE:]
 
-    hp = jax.lax.cond(jnp.any(m_l), full, lambda h: h, hp)
-    return st._replace(hp=hp, heap_n=st.heap_n + mask.astype(I32))
+    hp16, hpr = jax.lax.cond(
+        jnp.any(m_l), full, lambda ops: ops, (hp16, st.hpr)
+    )
+    return st._replace(hp16=hp16, hpr=hpr,
+                       heap_n=st.heap_n + mask.astype(I32))
 
 
 def _sift_down(hp, i, n2, l_pen, sifting, levels):
@@ -257,34 +266,35 @@ def _sift_down(hp, i, n2, l_pen, sifting, levels):
 def heap_pop(st: State, mask):
     """Pop the root; sift the last element down (ksort.h:125-136).
 
-    Same sliced fast path as heap_push: lanes with n2 < 16 sift
-    entirely within a [B,16] slice (4 levels fully resolve a 15-entry
-    heap); larger heaps take the full 7-level phase under a cond.
-    Returns (state, z_pen, z_k, z_i)."""
+    Same split-heap fast path as heap_push: lanes with n2 < 16 sift
+    entirely within the [B,16] hot window (4 levels fully resolve a
+    15-entry heap); larger heaps take the full 7-level phase under a
+    cond.  Returns (state, z_pen, z_k, z_i)."""
     B = st.heap_n.shape[0]
-    H = st.hp.shape[1]
-    root = st.hp[:, 0]
+    H = H_SLICE + st.hpr.shape[1]
+    root = st.hp16[:, 0]
     n2 = jnp.where(mask, st.heap_n - 1, st.heap_n)
     small = n2 < H_SLICE
     act = mask & (n2 > 0)
     m_s = act & small
     m_l = act & ~small
     i0 = jnp.zeros((B,), I32)
-    hp16 = jax.lax.slice(st.hp, (0, 0), (B, H_SLICE))
-    last16 = _hget(hp16, jnp.minimum(jnp.maximum(n2, 0), H_SLICE - 1))
-    hp16, i_s, _ = _sift_down(hp16, i0, n2, _he_pen(last16), m_s, 4)
+    last16 = _hget(st.hp16, jnp.minimum(jnp.maximum(n2, 0), H_SLICE - 1))
+    hp16, i_s, _ = _sift_down(st.hp16, i0, n2, _he_pen(last16), m_s, 4)
     hp16 = _hset(hp16, i_s, last16, m_s)
-    hp = jnp.concatenate(
-        [hp16, jax.lax.slice(st.hp, (0, H_SLICE), (B, H))], axis=1
-    )
 
-    def full(hpf):
+    def full(ops):
+        h16, hr = ops
+        hpf = jnp.concatenate([h16, hr], axis=1)
         last = _hget(hpf, jnp.minimum(jnp.maximum(n2, 0), H - 1))
         hpf, i_l, _ = _sift_down(hpf, i0, n2, _he_pen(last), m_l, HEAP_LEVELS)
-        return _hset(hpf, i_l, last, m_l)
+        hpf = _hset(hpf, i_l, last, m_l)
+        return hpf[:, :H_SLICE], hpf[:, H_SLICE:]
 
-    hp = jax.lax.cond(jnp.any(m_l), full, lambda h: h, hp)
-    st = st._replace(hp=hp, heap_n=n2)
+    hp16, hpr = jax.lax.cond(
+        jnp.any(m_l), full, lambda ops: ops, (hp16, st.hpr)
+    )
+    st = st._replace(hp16=hp16, hpr=hpr, heap_n=n2)
     return st, _he_pen(root), _he_k(root), _he_i(root)
 
 
@@ -377,6 +387,7 @@ def ec1dir_batch(
     B, L = seq_b.shape
     H, S = cfg.heap_cap, cfg.stack_cap
     assert S <= 1023, "stack_cap must fit the 10-bit parent field"
+    assert H > H_SLICE, "heap_cap must exceed the hot window"
     assert L <= 504, "read length exceeds the packed position field"
     k = cfg.k
     kmask = U64((1 << k) - 1)
@@ -415,7 +426,8 @@ def ec1dir_batch(
     prev = jnp.maximum(init_i - 1, 0)
     maskk1 = U64((1 << (k - 1)) - 1)
     st = State(
-        hp=jnp.zeros((B, H), I32),
+        hp16=jnp.zeros((B, H_SLICE), I32),
+        hpr=jnp.zeros((B, H - H_SLICE), I32),
         heap_n=jnp.zeros((B,), I32),
         st_meta=jnp.zeros((B, S), I32),
         st_ecp=jnp.zeros((B, S), U64),
@@ -436,6 +448,11 @@ def ec1dir_batch(
         it=jnp.zeros((), I32),
         rovf=jnp.zeros((), bool),
     )
+    if cfg.axis_name:
+        # mark every leaf device-varying BEFORE the first heap op: the
+        # split-heap cond branches must see uniform varying-manual-axes
+        # types (and the while carry requires it anyway)
+        st = State(*_pvary_all(st, cfg.axis_name))
     st = heap_push(st, _he_pack(jnp.zeros((B,), I32), init_i, jnp.full((B,), -1, I32)),
                    active)
 
@@ -515,7 +532,7 @@ def ec1dir_batch(
 
     def ff_prestep(st: State) -> State:
         # ---- fast-forward pre-step (exact: heap of one, clean window)
-        root = st.hp[:, 0]
+        root = st.hp16[:, 0]
         f_zi = _he_i(root)
         f_zk = _he_k(root)
         f_pen = _he_pen(root)
@@ -571,9 +588,9 @@ def ec1dir_batch(
         )
         new_root = _he_pack(pen_end, f_zi + stepsm, st.st_n - 1)
         # root replacement = a column-0 write (no one-hot pass)
-        col0 = jnp.where(elig, new_root, st.hp[:, 0])
+        col0 = jnp.where(elig, new_root, st.hp16[:, 0])
         return st._replace(
-            hp=jnp.concatenate([col0[:, None], st.hp[:, 1:]], axis=1)
+            hp16=jnp.concatenate([col0[:, None], st.hp16[:, 1:]], axis=1)
         )
 
     # packed per-position candidate plane: base(3) | q(1)<<3 | oq(1)<<4 |

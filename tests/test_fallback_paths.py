@@ -75,3 +75,37 @@ def test_forced_overflow_scalar_fallback(overflow_dataset):
     assert n_overflow > 0, "caps not small enough to force overflow"
     got = corr_tiny.finalize_batch(ctx)
     assert got == expected
+
+
+def test_greedy_pool_overflow_exact():
+    """More no-island reads than the greedy pool (G=1024, batches >
+    1024 lanes): the overflowed lanes must take the exact scalar
+    fallback, byte-identical to an all-device run of the same reads."""
+    import random
+
+    rng = random.Random(17)
+    genome = datagen.make_genome(9000, seed=61)
+    good = datagen.simulate_reads(genome, 1200, read_len=100,
+                                  err_rate=0.01, seed=62)
+    # junk reads share no k-mers with the genome: no solid island, so
+    # every one of them needs the greedy loop (and immediately fails it)
+    junk = [("".join(rng.choice("ACGT") for _ in range(100)), "I" * 100)
+            for _ in range(1300)]
+    reads = good + junk
+    rng.shuffle(reads)
+    opt = Opts()
+    opt.k = 19
+    opt.bf_shift = 23
+    ds = _count(good, opt)
+    corr = DC.Corrector(opt, ds)
+    # one 2048-lane batch: > 1024 greedy lanes guaranteed
+    batch = reads[:2048]
+    got = corr.correct_batch([r[0] for r in batch], [r[1] for r in batch])
+    # oracle: the exact scalar model per read
+    from bfc_tpu.models import refmodel as M
+
+    ch = corr._fallback_table()
+    for (st, s2, q2), (s_in, q_in) in zip(got, batch):
+        st_ref, s_ref, q_ref = M.ec1(opt, ch, ds.mode, s_in, q_in)
+        assert (s2, q2) == (s_ref, q_ref)
+        assert st.__dict__ == st_ref.__dict__
