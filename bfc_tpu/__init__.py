@@ -40,13 +40,19 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU sort/search kernels are expensive to
-# compile (tens of seconds); cache them across processes.
+# compile (tens of seconds to minutes); cache them across processes.
 #
-# NOT on the axon-tunneled TPU backend: executable DESERIALIZATION there
-# hangs for minutes even on ~200 KB entries (measured 2026-08-17: a
-# 13 KB entry loads in 19 ms, a 220 KB entry blocks > 5 min, an 8.6 MB
-# entry ~10 min), so a cache *hit* costs several times more than simply
-# recompiling.  Set BFC_TPU_JAX_CACHE=dir to force the cache on anyway.
+# NOT by default on the axon-tunneled TPU backend.  2026-08-17 measured
+# executable deserialization hanging minutes on ~200 KB entries;
+# re-probed 2026-08-19 (scripts/tpu_cache_probe.py): the hang is gone
+# on the current build - a 1 MB radix-pass entry hits in 0.33 s (52x
+# over its 17 s compile) - but a 4.4 MB search-program entry took
+# ~35-40 s to load+run vs its 28 s compile, i.e. parity at best, and
+# the production search entries are 10-20x larger still.  Until big
+# entries load at the small-entry rate, a "hit" can cost more than
+# recompiling; set BFC_TPU_JAX_CACHE=dir to opt in (the cold-start
+# path instead overlaps compiles with the counting stream - see
+# models/device_pipeline._prewarm_async).
 _cache_dir = _os.environ.get(
     "BFC_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax_cache"),
