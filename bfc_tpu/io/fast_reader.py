@@ -19,15 +19,37 @@ from . import fastq as slow_io
 
 _BLOCK = 4 << 20
 
+_BASE_CODE = None
+
+
+def _base_code_table() -> np.ndarray:
+    """ASCII -> base code LUT (the native parser's BASE_CODE twin)."""
+    global _BASE_CODE
+    if _BASE_CODE is None:
+        t = np.full(256, 4, np.uint8)
+        for i, c in enumerate(b"ACGT"):
+            t[c] = i
+            t[c + 32] = i  # lower case
+        _BASE_CODE = t
+    return _BASE_CODE
+
 
 class ReadBatch:
-    """A parsed batch: padded arrays + lazy per-read text accessors."""
+    """A parsed batch: padded arrays + lazy per-read text accessors.
+
+    `decoded` is the row range [lo, hi) whose bases/quals matrices were
+    actually filled by the parser (multi-host readers decode only their
+    owned stride; record structure - lens, offsets, raw text - is always
+    complete for every row).  None means all rows."""
 
     __slots__ = ("n", "bases", "quals", "lens", "buf", "name_off", "name_len",
-                 "comm_off", "comm_len", "seq_off", "qual_off", "_strings")
+                 "comm_off", "comm_len", "seq_off", "qual_off", "_strings",
+                 "decoded")
 
     def __init__(self, n, bases, quals, lens, buf, name_off, name_len,
-                 comm_off, comm_len, seq_off, qual_off, strings=None):
+                 comm_off, comm_len, seq_off, qual_off, strings=None,
+                 decoded=None):
+        self.decoded = decoded
         self.n = n
         self.bases = bases        # u8 [n, L] codes 0..4
         self.quals = quals        # u8 [n, L] raw qual chars (0 = none/pad)
@@ -74,6 +96,33 @@ class ReadBatch:
         if self._strings is not None:
             return np.array([r.qual is not None for r in self._strings])
         return self.qual_off[: self.n] >= 0
+
+    def ensure_decoded(self, lo: int, hi: int) -> None:
+        """Fill bases/quals for rows [lo, hi) from the raw buffer if the
+        parser skipped them (split batches can shift a stride-decoded
+        range off a consumer's owned rows; this is the rare repair
+        path).  No-op when the rows are already decoded."""
+        if self._strings is not None or self.decoded is None:
+            return
+        dlo, dhi = self.decoded
+        lo, hi = max(lo, 0), min(hi, self.n)
+        if lo >= hi or (dlo <= lo and hi <= dhi):
+            return
+        base_code = _base_code_table()
+        mv = np.frombuffer(self.buf, np.uint8)
+        # decode the whole union range so `decoded` stays one interval
+        tlo = min(lo, dlo) if dlo < dhi else lo
+        thi = max(hi, dhi) if dlo < dhi else hi
+        for i in range(tlo, thi):
+            if dlo <= i < dhi:
+                continue
+            ln = int(self.lens[i])
+            o = int(self.seq_off[i])
+            self.bases[i, :ln] = base_code[mv[o : o + ln]]
+            qo = int(self.qual_off[i])
+            if qo >= 0:
+                self.quals[i, :ln] = mv[qo : qo + ln]
+        self.decoded = (tlo, thi)
 
 
 class CommentCarry:
@@ -130,17 +179,22 @@ def _split_by_bases(rb: ReadBatch, max_bases: int) -> Iterator[ReadBatch]:
                             rb.lens[i0:i1], rb.buf, None, None, None, None,
                             None, None, strings=rb._strings[i0:i1])
         else:
+            dec = rb.decoded
+            if dec is not None:  # shift the decoded range into piece coords
+                dec = (max(dec[0] - i0, 0), max(min(dec[1], i1) - i0, 0))
             yield ReadBatch(i1 - i0, rb.bases[i0:i1], rb.quals[i0:i1],
                             rb.lens[i0:i1], rb.buf,
                             rb.name_off[i0:i1], rb.name_len[i0:i1],
                             rb.comm_off[i0:i1], rb.comm_len[i0:i1],
-                            rb.seq_off[i0:i1], rb.qual_off[i0:i1])
+                            rb.seq_off[i0:i1], rb.qual_off[i0:i1],
+                            decoded=dec)
         i0 = i1
 
 
 def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
                           depth: int = 2,
-                          max_bases: Optional[int] = None) -> Iterator[ReadBatch]:
+                          max_bases: Optional[int] = None,
+                          decode_range=None) -> Iterator[ReadBatch]:
     """iter_batches with a background reader thread (the host-side
     analogue of the reference's kt_pipeline I/O step overlapping
     compute, kthread.c:118-146).  Parsing/encoding of the next batch
@@ -153,7 +207,8 @@ def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
 
     def producer():
         try:
-            for rb in iter_batches(fn, batch_reads, max_bases=max_bases):
+            for rb in iter_batches(fn, batch_reads, max_bases=max_bases,
+                                   decode_range=decode_range):
                 q.put(rb)
             q.put(_END)
         except BaseException as e:  # surface errors in the consumer
@@ -172,10 +227,17 @@ def iter_batches_prefetch(fn: Optional[str], batch_reads: int,
 
 
 def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512,
-                 max_bases: Optional[int] = None) -> Iterator[ReadBatch]:
+                 max_bases: Optional[int] = None,
+                 decode_range=None) -> Iterator[ReadBatch]:
     """Batches of <= batch_reads reads and (when max_bases is given, the
-    -L chunk bound) <= max_bases + one read of sequence."""
-    it = _iter_batches_impl(fn, batch_reads, max_len)
+    -L chunk bound) <= max_bases + one read of sequence.
+
+    decode_range=(lo, hi): fill bases/quals only for rows [lo, hi) of
+    each batch (multi-host stride decode; the byte scan and all offsets
+    stay complete).  Consumers must ensure_decoded() any rows they read
+    outside the range (splits can shift it - see ReadBatch.decoded)."""
+    it = _iter_batches_impl(fn, batch_reads, max_len,
+                            decode_range=decode_range)
     if max_bases is None:
         yield from it
     else:
@@ -183,7 +245,8 @@ def iter_batches(fn: Optional[str], batch_reads: int, max_len: int = 512,
             yield from _split_by_bases(rb, max_bases)
 
 
-def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512) -> Iterator[ReadBatch]:
+def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512,
+                       decode_range=None) -> Iterator[ReadBatch]:
     lib = get_lib()
     if lib is None:
         yield from _iter_batches_slow(fn, batch_reads)
@@ -219,7 +282,7 @@ def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512) 
             seq_off = np.zeros((B,), np.int64)
             qual_off = np.zeros((B,), np.int64)
             consumed = ctypes.c_int64(0)
-            r = lib.fastx_parse(
+            ptrs = (
                 sub, len(sub), int(eof), B, max_len,
                 bases.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
                 quals.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -232,6 +295,12 @@ def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512) 
                 qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(consumed),
             )
+            if decode_range is not None:
+                r = lib.fastx_parse_range(
+                    *ptrs, int(decode_range[0]), int(decode_range[1])
+                )
+            else:
+                r = lib.fastx_parse(*ptrs)
             if r < 0:
                 slow_mode = True
                 break
@@ -243,10 +312,14 @@ def _iter_batches_impl(fn: Optional[str], batch_reads: int, max_len: int = 512) 
                         continue
                     slow_mode = True
                 break
+            dec = None
+            if decode_range is not None:
+                dec = (min(int(decode_range[0]), int(r)),
+                       min(int(decode_range[1]), int(r)))
             yield ReadBatch(
                 int(r), bases[:r], quals[:r], lens[:r], sub,
                 name_off[:r], name_len[:r], comm_off[:r], comm_len[:r],
-                seq_off[:r], qual_off[:r],
+                seq_off[:r], qual_off[:r], decoded=dec,
             )
             consumed_total += int(consumed.value)
             if r < B:

@@ -79,8 +79,10 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
 
     # window planes computed ONCE: kcov, the greedy island hops, and the
     # search precompute all share them (the log2(k) window packing costs
-    # ~ms per [B,L] recompute and used to run once per greedy trip)
-    planes = kops.kmer_planes(seq_b, k)
+    # ~ms per [B,L] recompute and used to run once per greedy trip).
+    # u32 planes for k <= 31: keeps every downstream probe's index
+    # dataflow 32-bit = the parallel-gather path (PLAN.md round-4)
+    planes = kops.kmer_planes(seq_b, k, jnp.uint32 if k <= 31 else jnp.uint64)
     solid_end, high_end, lcov, hcov, occv, kovf = ann.kcov_batch(
         table, seq_b, lens, k, cfg.l_pre, cfg.s_bits, cfg.kb_bits, cfg.min_cov,
         cfg.axis_name, cfg.n_dev, slack=cfg.route_slack, planes=planes,
@@ -103,7 +105,10 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
         # measurement-only (trace-time): skip the greedy loop entirely
         # to expose its share of the per-batch fixed cost
         need_greedy = need_greedy & False
-    G = min(1024, B)
+    # pool size knob: batches with more than G no-solid-kmer reads
+    # (high-error/contaminated input) route the excess through the
+    # scalar fallback (byte-exact but slow) - raise it for such inputs
+    G = min(int(_os.environ.get("BFC_TPU_GREEDY_POOL", "1024")), B)
     ordg = spec.stable_order((~need_greedy).astype(jnp.uint32))
     pool_ids = ordg[:G].astype(I32)
     pool_on = need_greedy[pool_ids]
@@ -304,6 +309,16 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     is_diff = (final_b != ob) & inb & ok1[:, None]
     n_ec = jnp.sum(is_diff, axis=1)
     n_ec_high = jnp.sum(is_diff & seq_q, axis=1)
+    # pack the four per-base output planes into ONE u8 plane: the
+    # device->host pull (and the multi-host allgather) carries 1 byte
+    # per base instead of 4 - the pull rides the axon tunnel and is a
+    # measurable slice of the per-batch fixed cost
+    packed_bq = (
+        final_b.astype(jnp.uint8)
+        | (is_diff.astype(jnp.uint8) << 3)
+        | (seq_q.astype(jnp.uint8) << 4)
+        | (ob.astype(jnp.uint8) << 5)
+    )
 
     # ---- status assembly (correct.c:425-435)
     def code_of(rv):
@@ -326,7 +341,7 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     # scalar fallback (count.c:42-52 insbuf retry ethos)
     route_ovf = kovf | g_ovf | s_rovf
     return dict(
-        final_b=final_b, is_diff=is_diff, ob=ob, q=seq_q,
+        packed_bq=packed_bq,
         ec_code=ec_code, brute=greedy_ok.astype(I32),
         n_ec=n_ec.astype(I32), n_ec_high=n_ec_high.astype(I32),
         n_absent=(na0 + na1).astype(I32),
@@ -387,6 +402,10 @@ class BatchResult:
     text_of: object
     exceptional: dict
     requeue: list = dataclasses.field(default_factory=list)
+    # multi-host: only rank 0 assembles/emits output text; other ranks
+    # carry control-flow results only (requeue, overflow, codes) and
+    # dummy row matrices - never read their text fields
+    emit: bool = True
 
     def tuple_of(self, i: int):
         """Legacy per-read view: (EcStat, seq, qual)."""
@@ -427,6 +446,7 @@ class WindowResult:
     has_q: np.ndarray
     text_of: object
     exceptional: dict
+    emit: bool = True
 
     tuple_of = BatchResult.tuple_of
 
@@ -497,9 +517,13 @@ class Corrector:
 
         def run(n, soft):
             b, q, l, h = mk(n)
+            # prewarm=True: random reads have no solid k-mers, so nearly
+            # every lane pool-misses; the scalar-fallback loop (and the
+            # full scalar CountHash mirror it builds) would burn host
+            # CPU inside the very cold-start window prewarm shrinks
             ctx = self.dispatch_arrays(
                 b, q, l, h, lambda i: ("A" * L, None),
-                soft=soft, min_b=n,
+                soft=soft, min_b=n, prewarm=True,
             )
             self.finalize_batch_arrays(ctx)
 
@@ -607,6 +631,7 @@ class Corrector:
                             code=np.zeros((n,), np.int64),
                             has_q=np.asarray(has_q),
                             text_of=text_of, exceptional={},
+                            emit=br.emit,
                         )
                     Lb = br.seq_rows.shape[1]
                     if Lb > win.seq_rows.shape[1]:  # sticky pad grew
@@ -710,7 +735,8 @@ class Corrector:
         return results
 
     def dispatch_arrays(self, bases0, rawq0, lens0, has_q, text_of,
-                        soft: bool = False, min_b: int = 256):
+                        soft: bool = False, min_b: int = 256,
+                        prewarm: bool = False):
         """Launch the device step for an encoded batch WITHOUT blocking.
 
         The returned context is finished by finalize_batch; keeping one
@@ -795,10 +821,10 @@ class Corrector:
             except Exception:
                 break
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,
-                    soft=soft,
+                    soft=soft, slack=self._route_slack, prewarm=prewarm,
                     redispatch=lambda: self.dispatch_arrays(
                         bases0, rawq0, lens0, has_q, text_of,
-                        soft=soft, min_b=min_b))
+                        soft=soft, min_b=min_b, prewarm=prewarm))
 
     def finalize_batch_arrays(self, ctx) -> Optional["BatchResult"]:
         """Block on the device step; assemble results as BATCH ARRAYS.
@@ -821,18 +847,23 @@ class Corrector:
             from ..utils.log import log as _lg
 
             t0 = _t.time()
-            jax.block_until_ready(ctx["out"]["final_b"])
+            jax.block_until_ready(ctx["out"]["packed_bq"])
             t1 = _t.time()
             _ = {k: np.asarray(v) for k, v in ctx["out"].items()}
             _lg(f"device wait {t1-t0:.3f}s pull {_t.time()-t1:.3f}s",
                 func="finalize")
+        emit = True
         if jax.process_count() > 1:
-            # multi-host: batch rows are sharded across processes; every
-            # host allgathers the results and assembles identical output
-            # (rank 0 alone emits it - parallel/multihost.py)
+            # multi-host: batch rows are sharded across processes.  The
+            # device-level allgather (to_host) must run identically on
+            # every host - it is a collective - but only rank 0
+            # ASSEMBLES output text; other ranks keep just the
+            # control-flow results (requeue/overflow/codes), so host
+            # work does not scale with host count (SURVEY §5.8)
             from ..parallel.mesh import to_host
 
             out = {k: to_host(v) for k, v in ctx["out"].items()}
+            emit = jax.process_index() == 0
         else:
             out = {k: np.asarray(v) for k, v in ctx["out"].items()}
         if bool(np.asarray(out["route_ovf"]).any()) and "redispatch" in ctx:
@@ -840,11 +871,18 @@ class Corrector:
             # round is unusable.  Double the slack (sticky) and re-run
             # the batch on device rather than dumping it to the scalar
             # fallback; give up past 32x (per-read overflow flags then
-            # route reads to the exact scalar path as before)
-            if self._route_slack < 32:
+            # route reads to the exact scalar path as before).  The
+            # escalation is relative to the slack THIS batch was
+            # dispatched at: with one batch in flight, batch i+1 was
+            # dispatched before batch i's overflow landed, and doubling
+            # the already-doubled sticky value would skip a level
+            # (each skipped level = an unnecessary multi-minute search
+            # recompile + permanently larger routing buffers)
+            ctx_slack = ctx.get("slack", self._route_slack)
+            if ctx_slack < 32:
                 from ..utils.log import log
 
-                self._route_slack *= 2
+                self._route_slack = max(self._route_slack, 2 * ctx_slack)
                 log(f"routing bucket overflow; retrying batch with "
                     f"slack {self._route_slack}", func="Corrector")
                 return self.finalize_batch_arrays(ctx["redispatch"]())
@@ -863,33 +901,42 @@ class Corrector:
             else:
                 log(f"search trips fwd/rev = {trips}", func="correct_core")
         # whole-batch output re-encoding (correct.c:451-459), then per-read
-        # slicing; avoids per-read numpy work on the hot path
-        fb = out["final_b"][:n]
-        isd = out["is_diff"][:n]
-        upper = np.frombuffer(b"ACGTN", np.uint8)[fb]
-        lower = np.frombuffer(b"acgtn", np.uint8)[fb]
-        seq_rows = np.where(isd, lower, upper)
-        qual_rows = np.where(
-            isd,
-            34 + out["ob"][:n].astype(np.uint8),
-            np.frombuffer(b"+?", np.uint8)[out["q"][:n].astype(np.int32)],
-        )
+        # slicing; avoids per-read numpy work on the hot path.  The four
+        # per-base planes arrive packed in one u8 plane (see correct_core)
         U = np.uint64
         code = out["ec_code"][:n].astype(np.int64)
-        ok = code == 0
-        brute = (out["brute"][:n].astype(U) & U(1)) << U(3)
-        # aux/aux2 packed exactly as worker_ec (correct.c:552-553); on
-        # failure the reference keeps the zero-initialized stats
-        # (correct.c:394 + early returns), so only brute|code survive
-        aux_ok = (
-            ((out["n_ec"][:n].astype(U) & U(0x3FFF)) << U(18))
-            | ((out["n_ec_high"][:n].astype(U) & U(0x3FFF)) << U(4))
-        )
-        aux = np.where(ok, aux_ok, U(0)) | brute | (code.astype(U) & U(7))
-        aux2_ok = (out["n_absent"][:n].astype(U) << U(10)) | (
-            out["max_heap"][:n].astype(U) & U(0xFF)
-        )
-        aux2 = np.where(ok, aux2_ok, U(0))
+        if emit:
+            pk = out["packed_bq"][:n]
+            fb = pk & 7
+            isd = (pk & 8) != 0
+            upper = np.frombuffer(b"ACGTN", np.uint8)[fb]
+            lower = np.frombuffer(b"acgtn", np.uint8)[fb]
+            seq_rows = np.where(isd, lower, upper)
+            qual_rows = np.where(
+                isd,
+                34 + (pk >> 5),
+                np.frombuffer(b"+?", np.uint8)[((pk >> 4) & 1).astype(np.int32)],
+            )
+            ok = code == 0
+            brute = (out["brute"][:n].astype(U) & U(1)) << U(3)
+            # aux/aux2 packed exactly as worker_ec (correct.c:552-553); on
+            # failure the reference keeps the zero-initialized stats
+            # (correct.c:394 + early returns), so only brute|code survive
+            aux_ok = (
+                ((out["n_ec"][:n].astype(U) & U(0x3FFF)) << U(18))
+                | ((out["n_ec_high"][:n].astype(U) & U(0x3FFF)) << U(4))
+            )
+            aux = np.where(ok, aux_ok, U(0)) | brute | (code.astype(U) & U(7))
+            aux2_ok = (out["n_absent"][:n].astype(U) << U(10)) | (
+                out["max_heap"][:n].astype(U) & U(0xFF)
+            )
+            aux2 = np.where(ok, aux2_ok, U(0))
+        else:
+            Lp = out["packed_bq"].shape[1]
+            seq_rows = np.zeros((n, Lp), np.uint8)
+            qual_rows = np.zeros((n, Lp), np.uint8)
+            aux = np.zeros((n,), U)
+            aux2 = np.zeros((n,), U)
         exceptional = {}
         requeue: List[int] = []
         ovf = out["overflow"][:n]
@@ -899,11 +946,18 @@ class Corrector:
 
             _lg(f"overflow reads: {n_ovf} (soft={bool(ctx.get('soft'))})",
                 func="finalize")
+        if ctx.get("prewarm"):
+            ovf = np.zeros_like(ovf)  # warm-up results are discarded
         for i in np.nonzero(ovf)[0]:
             if ctx.get("soft"):
                 # soft-capped first pass: re-batch at full caps (device),
-                # not the scalar fallback - see correct_many
+                # not the scalar fallback - see correct_many.  Requeue is
+                # CONTROL FLOW (it shapes later device batches) and runs
+                # on every host; the scalar fallback below is output-only
+                # and runs on the emitting rank alone
                 requeue.append(int(i))
+                continue
+            if not emit:
                 continue
             ch = self._fallback_table()
             s_in, q_in = text_of(int(i))
@@ -914,6 +968,7 @@ class Corrector:
             aux=aux, aux2=aux2, code=code,
             has_q=np.asarray(quals_present)[:n],
             text_of=text_of, exceptional=exceptional, requeue=requeue,
+            emit=emit,
         )
 
     def finalize_batch(self, ctx):

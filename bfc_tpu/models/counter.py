@@ -150,7 +150,7 @@ def _spectrum_from_sorted(shard: np.ndarray, keybody: np.ndarray,
             payload.astype(np.uint32), c_bits, l_pre, kb_bits,
         )
         if ok:
-            table = spec.CuckooTable(entries=jnp.asarray(entries))
+            table = spec.cuckoo_from_u64(entries)
             hist = np.bincount(np.minimum(payload & 0xFF, 255), minlength=256)[:256]
             hist[0] = 0
             hist_high = np.bincount((payload >> 8) & 0x3F, minlength=64)[:64]

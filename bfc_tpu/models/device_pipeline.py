@@ -56,12 +56,16 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
         res = corr.correct_many(bases, rawq, lens, has_q, text_of, batch_reads,
                                 as_arrays=True)
         i0 = 0
-        for rb in rbs:
-            if res is None or isinstance(res, list):
-                _emit_rb_python(rb, i0, res, opt, out)
-            elif not _emit_rb_native(rb, i0, res, opt, out):
-                _emit_rb_python(rb, i0, res, opt, out)
-            i0 += rb.n
+        # multi-host: non-emitting ranks carry dummy row matrices (see
+        # BatchResult.emit) - formatting them would be wasted host work
+        # on every added host, and their stdout is /dev/null anyway
+        if getattr(res, "emit", True):
+            for rb in rbs:
+                if res is None or isinstance(res, list):
+                    _emit_rb_python(rb, i0, res, opt, out)
+                elif not _emit_rb_native(rb, i0, res, opt, out):
+                    _emit_rb_python(rb, i0, res, opt, out)
+                i0 += rb.n
         n_done += total
         log(f"processed {n_done} sequences", func="correct_file_device")
 
@@ -259,7 +263,8 @@ def _prewarm_async(opt: Opts, count_fn: str, batch_reads: int):
             if not spec.cuckoo_ok(c_bits, l_pre, kb_bits):
                 return
             dummy = DeviceSpectrum(
-                spec.CuckooTable(entries=jnp.zeros((1 << c_bits,), jnp.uint64)),
+                spec.CuckooTable(lo=jnp.zeros((1 << c_bits,), jnp.uint32),
+                                 hi=jnp.zeros((1 << c_bits,), jnp.uint32)),
                 opt.k, l_pre, c_bits, 0,
                 np.zeros(256, np.int64), np.zeros(64, np.int64), -1,
                 compact=(np.zeros(0, np.uint32), np.zeros(0, np.uint64),

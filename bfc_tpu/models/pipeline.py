@@ -29,6 +29,10 @@ def correct_file(fn: str, opt: Opts, ch: M.CountHash, out: List[str]) -> None:
     # zero stats (correct.c:640-642 calloc + 438-442 revert test)
     ori_st = M.EcStat(ec_code=0)
     for r in read_fastx(fn, keep_comment=opt.filter_mode or opt.refine_ec):
+        if M.verbose >= 4:
+            # worker_ec's per-read banner (correct.c:541) - printed even
+            # for refine-skipped reads, before any processing
+            M._tr(f"* Processing read '{r.name}'...")
         skip = False
         if opt.refine_ec and r.comment and r.comment.startswith("ec:Z:"):
             ori_st = parse_stats(r.comment[5:])

@@ -805,6 +805,13 @@ def ec1dir(
     for i in range(n):
         if i < start + k or i >= end:
             ec[i].b = 4
+    if verbose >= 4:
+        # per-direction path summary + masked sequence (correct.c:380-384)
+        _tr(f"* {len(paths)} path(s); lowest penalty: {min_path_pen}")
+        _tr("  " + "".join(
+            (BASES if seq[i].b == ec[i].b else BASES_LOWER)[ec[i].b]
+            for i in range(n)
+        ))
     return n_absent, max_heap_seen
 
 
@@ -903,6 +910,20 @@ def ec1(
         out_seq.append((BASES_LOWER if is_diff else BASES)[s[i].b])
         if out_qual is not None:
             out_qual.append(chr(34 + s[i].ob) if is_diff else "+?"[s[i].q])
+    if verbose >= 4:
+        # final per-read summary: case-marked corrected sequence + the
+        # re-annotated lcov digit line (correct.c:460-468; note the
+        # reference reruns bfc_ec_kcov on the CORRECTED bases first)
+        ec_kcov(opt.k, opt.min_cov, s, ch)
+        _tr(f"* ec_code:{st.ec_code} n_ec:{st.n_ec} n_ec_high:{st.n_ec_high}")
+        _tr("  " + "".join(
+            (BASES if s[i].b == s[i].ob else BASES_LOWER)[s[i].b]
+            for i in range(n)
+        ))
+        _tr("  " + "".join(
+            chr(ord("0") + int(10.0 * s[i].lcov / opt.k + 0.499))
+            for i in range(n)
+        ))
     if opt.refine_ec:
         st.rf_code = 3
     return st, "".join(out_seq), "".join(out_qual) if out_qual is not None else None

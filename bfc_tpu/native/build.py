@@ -40,8 +40,7 @@ def get_lib():
             )
             _STAMP.write_text(h)
         lib = ctypes.CDLL(str(_SO))
-        lib.fastx_parse.restype = ctypes.c_long
-        lib.fastx_parse.argtypes = [
+        _parse_args = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
             ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
@@ -50,6 +49,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastx_parse.restype = ctypes.c_long
+        lib.fastx_parse.argtypes = _parse_args
+        lib.fastx_parse_range.restype = ctypes.c_long
+        lib.fastx_parse_range.argtypes = _parse_args + [
+            ctypes.c_long, ctypes.c_long,
         ]
         lib.fastx_format_trim.restype = ctypes.c_long
         lib.fastx_format_trim.argtypes = [

@@ -33,7 +33,7 @@ static void init_base_code(void) {
  * end of the last complete record), or -1 if the buffer deviates from
  * the single-line fast path.  *consumed is set to the byte offset just
  * past the last parsed record. */
-long fastx_parse(
+long fastx_parse_range(
     const char *buf, long n, int is_final,
     long max_reads, long max_len,
     unsigned char *bases,      /* [max_reads * max_len], pre-filled with 4 */
@@ -43,7 +43,13 @@ long fastx_parse(
     int64_t *comm_off, int32_t *comm_len,   /* len -1 = no comment */
     int64_t *seq_off,
     int64_t *qual_off,         /* -1 = FASTA record */
-    int64_t *consumed)
+    int64_t *consumed,
+    long decode_lo, long decode_hi)
+    /* decode_lo/decode_hi: write the bases/quals matrices only for rows
+     * in [decode_lo, decode_hi).  Record structure (lens + all offsets)
+     * is always parsed for every row, so raw text stays accessible via
+     * the offsets.  Multi-host readers pass their owned row range: the
+     * byte scan is shared, the decode work is 1/n_hosts per host. */
 {
     long i = 0, r = 0;
     init_base_code();
@@ -103,19 +109,34 @@ long fastx_parse(
         seq_off[r] = ss;
         qual_off[r] = qs;
         lens[r] = (int32_t)slen;
-        {
+        if (r >= decode_lo && r < decode_hi) {
             unsigned char *brow = bases + r * max_len;
             const unsigned char *src = (const unsigned char *)buf + ss;
             long j;
             for (j = 0; j < slen; j++) brow[j] = BASE_CODE[src[j]];
+            if (qs >= 0)
+                memcpy(quals + r * max_len, buf + qs, slen);
         }
-        if (qs >= 0)
-            memcpy(quals + r * max_len, buf + qs, slen);
         r++;
         *consumed = i;
         (void)rec_start;
     }
     return r;
+}
+
+long fastx_parse(
+    const char *buf, long n, int is_final,
+    long max_reads, long max_len,
+    unsigned char *bases, unsigned char *quals, int32_t *lens,
+    int64_t *name_off, int32_t *name_len,
+    int64_t *comm_off, int32_t *comm_len,
+    int64_t *seq_off, int64_t *qual_off,
+    int64_t *consumed)
+{
+    return fastx_parse_range(buf, n, is_final, max_reads, max_len,
+                             bases, quals, lens, name_off, name_len,
+                             comm_off, comm_len, seq_off, qual_off,
+                             consumed, 0, max_reads);
 }
 
 /* ------------------------------------------------------------------ */

@@ -20,14 +20,32 @@ I32 = jnp.int32
 U64 = jnp.uint64
 
 
+def _hash_of(x0, x1, x2, x3, k: int):
+    """(h0, h1) in the planes' own width: u32 planes (k <= 31) keep the
+    whole hash -> slot -> gather chain 32-bit (the parallel-gather
+    requirement, PLAN.md round-4)."""
+    if x0.dtype == jnp.uint32:
+        return kops.canonical_hash32(x0, x1, x2, x3, k)
+    _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
+    return h0, h1
+
+
 def _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1, axis_name="",
                 n_dev=1, slack=2, valid=None):
     """Returns (occ, overflow-scalar); see search._occ_of."""
-    q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
     no_ovf = jnp.zeros((), bool)
     import os
 
-    if os.environ.get("BFC_TPU_PROBE_NO_ANN_OCC", "0") == "1":
+    probe_off = os.environ.get("BFC_TPU_PROBE_NO_ANN_OCC", "0") == "1"
+    if (h0.dtype == jnp.uint32 and isinstance(table, spec.CuckooTable)
+            and k <= 31 and s_bits <= 32 and not probe_off):
+        # all-32-bit probe: the fast-gather path (see search._occ_of)
+        return spec.cuckoo_lookup32(table, h0, h1, k, s_bits), no_ovf
+    if h0.dtype == jnp.uint32:
+        h0 = h0.astype(U64)
+        h1 = h1.astype(U64)
+    q_shard, q_kb = kops.shard_and_keybody(h0, h1, k, l_pre)
+    if probe_off:
         # measurement-only (trace-time): expose the kcov/greedy gather
         # share of the per-batch fixed cost on real hardware
         return (q_shard.astype(jnp.int32) & 0xFF) | 0x700, no_ovf
@@ -54,9 +72,12 @@ def kcov_batch(table, seq_b, lens, k: int, l_pre: int, s_bits: int, kb_bits: int
     Returns (solid_end, high_end, lcov, hcov, occ, ovf) where occ is the
     raw per-position k-mer payload (-1 absent) reused by later stages."""
     B, L = seq_b.shape
-    x0, x1, x2, x3 = planes if planes is not None else kops.kmer_planes(seq_b, k)
+    if planes is None:
+        planes = kops.kmer_planes(seq_b, k,
+                                  jnp.uint32 if k <= 31 else U64)
+    x0, x1, x2, x3 = planes
     valid = kops.valid_kmer_mask(seq_b, lens, k)
-    _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, k)
+    h0, h1 = _hash_of(x0, x1, x2, x3, k)
     occ, ovf = _occ_lookup(table, k, l_pre, s_bits, kb_bits, h0, h1,
                            axis_name, n_dev, slack, valid=valid)
     occ = jnp.where(valid, occ, -1)
@@ -130,10 +151,12 @@ def first_kmer_batch(seq_b, lens, start, k: int, planes=None):
     end_pos = jnp.argmax(ok, axis=-1).astype(I32)
     found = jnp.any(ok, axis=-1)
     if planes is None:
-        planes = kops.kmer_planes(seq_b, k)
+        planes = kops.kmer_planes(seq_b, k,
+                                  jnp.uint32 if k <= 31 else U64)
     x0, x1, x2, x3 = planes
     r = jnp.arange(B, dtype=jnp.int32)
-    flat = r * L + jnp.where(found, end_pos, 0)
+    # unsigned index: signed gather indices take the serialized path
+    flat = (r * L + jnp.where(found, end_pos, 0)).astype(jnp.uint32)
     return (
         jnp.where(found, end_pos, lens),
         x0.reshape(-1)[flat], x1.reshape(-1)[flat],
@@ -156,15 +179,16 @@ def greedy_k_batch(table, x0, x1, x2, x3, mode, k: int, l_pre: int, s_bits: int,
     (one gather round / one routing round instead of 4k).
     """
     B = x0.shape[0]
+    D = x0.dtype.type
     cand_h0 = []
     cand_h1 = []
     cand_skip = []
     cand_code = []
     for i in range(k):
-        cur = (((x1 >> U64(i)) & U64(1)) << U64(1)) | ((x0 >> U64(i)) & U64(1))
+        cur = (((x1 >> D(i)) & D(1)) << D(1)) | ((x0 >> D(i)) & D(1))
         for j in range(4):
             nx = kops.change_base(x0, x1, x2, x3, i, jnp.full((B,), j, I32), k)
-            _, h0, h1 = kops.canonical_hash(*nx, k)
+            h0, h1 = _hash_of(*nx, k)
             cand_h0.append(h0)
             cand_h1.append(h1)
             cand_skip.append(cur == j)  # j == c: skipped

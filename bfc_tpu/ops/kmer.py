@@ -27,59 +27,65 @@ def _u64(x):
     return jnp.asarray(x, dtype=U64)
 
 
-def window_pack_backward(bits, k: int):
+def window_pack_backward(bits, k: int, dtype=U64):
     """Pack bits[i-j] into bit j of out[i] for j in [0, k).
 
-    bits: uint64 [..., L] containing 0/1.  Positions i < k-1 contain
-    partial windows (upper bits zero-filled)."""
-    acc = jnp.asarray(bits, dtype=U64)
+    bits: [..., L] containing 0/1.  Positions i < k-1 contain partial
+    windows (upper bits zero-filled).  dtype=uint32 requires k <= 31
+    (the all-32-bit probe path; see PLAN.md round-4)."""
+    assert dtype == U64 or k <= 31
+    acc = jnp.asarray(bits, dtype=dtype)
     width = 1
     while width < k:
         shifted = jnp.roll(acc, width, axis=-1)
         # zero the wrapped-around columns
         idx = jnp.arange(acc.shape[-1], dtype=jnp.int32)
-        shifted = jnp.where(idx >= width, shifted, _u64(0))
-        acc = acc | (shifted << U64(width))
+        shifted = jnp.where(idx >= width, shifted, dtype(0))
+        acc = acc | (shifted << dtype(width))
         width <<= 1
-    return acc & U64((1 << k) - 1)
+    return acc & dtype((1 << k) - 1)
 
 
-def window_pack_forward(bits, k: int):
+def window_pack_forward(bits, k: int, dtype=U64):
     """Pack bits[i+j] into bit j of out[i] for j in [0, k)."""
-    acc = jnp.asarray(bits, dtype=U64)
+    assert dtype == U64 or k <= 31
+    acc = jnp.asarray(bits, dtype=dtype)
     L = acc.shape[-1]
     width = 1
     while width < k:
         shifted = jnp.roll(acc, -width, axis=-1)
         idx = jnp.arange(L, dtype=jnp.int32)
-        shifted = jnp.where(idx < L - width, shifted, _u64(0))
-        acc = acc | (shifted << U64(width))
+        shifted = jnp.where(idx < L - width, shifted, dtype(0))
+        acc = acc | (shifted << dtype(width))
         width <<= 1
-    return acc & U64((1 << k) - 1)
+    return acc & dtype((1 << k) - 1)
 
 
-def kmer_planes(bases, k: int):
+def kmer_planes(bases, k: int, dtype=U64):
     """All four bit-planes of the k-mer ending at each position.
 
     bases: uint8 [..., L] with values 0..4 (4 = N/invalid).  Returns
-    (x0, x1, x2, x3) uint64 [..., L]; only positions where the trailing
-    k bases are all valid hold meaningful planes (see valid_kmer_mask).
+    (x0, x1, x2, x3) [..., L] of `dtype`; only positions where the
+    trailing k bases are all valid hold meaningful planes (see
+    valid_kmer_mask).  dtype=uint32 (k <= 31) keeps the downstream
+    hash -> table-slot dataflow free of 64-bit ops, which is what lets
+    the probe gathers run on the parallel path (PLAN.md round-4).
     """
     b = jnp.asarray(bases)
-    lo = (b & 1).astype(U64)
-    hi = ((b >> 1) & 1).astype(U64)
-    x0 = window_pack_backward(lo, k)
-    x1 = window_pack_backward(hi, k)
+    lo = (b & 1).astype(dtype)
+    hi = ((b >> 1) & 1).astype(dtype)
+    x0 = window_pack_backward(lo, k, dtype)
+    x1 = window_pack_backward(hi, k, dtype)
     # complement bits, forward-packed then aligned to the window start:
     # x2[i] = sum_m comp_lo(b[i-k+1+m]) << m = fwd[i-k+1]
-    clo = window_pack_forward((lo ^ 1) & U64(1), k)
-    chi = window_pack_forward((hi ^ 1) & U64(1), k)
+    clo = window_pack_forward((lo ^ 1) & dtype(1), k, dtype)
+    chi = window_pack_forward((hi ^ 1) & dtype(1), k, dtype)
     L = b.shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)
     x2 = jnp.roll(clo, k - 1, axis=-1)
     x3 = jnp.roll(chi, k - 1, axis=-1)
-    x2 = jnp.where(idx >= k - 1, x2, _u64(0))
-    x3 = jnp.where(idx >= k - 1, x3, _u64(0))
+    x2 = jnp.where(idx >= k - 1, x2, dtype(0))
+    x3 = jnp.where(idx >= k - 1, x3, dtype(0))
     return x0, x1, x2, x3
 
 
@@ -110,14 +116,19 @@ def high_quality_mask(bases, qual_ok, lengths, k: int):
 
 
 def wang_hash(key, mask):
-    """Vectorized invertible Thomas Wang mix under mask (kmer.h:30-40)."""
-    key = (~key + (key << U64(21))) & mask
-    key = key ^ (key >> U64(24))
-    key = (key + (key << U64(3)) + (key << U64(8))) & mask
-    key = key ^ (key >> U64(14))
-    key = (key + (key << U64(2)) + (key << U64(4))) & mask
-    key = key ^ (key >> U64(28))
-    key = (key + (key << U64(31))) & mask
+    """Vectorized invertible Thomas Wang mix under mask (kmer.h:30-40).
+
+    Dtype-generic: in uint32 (k <= 31) the intermediate wraps mod 2^32
+    only discard bits the & mask discards anyway (mask < 2^31), so the
+    result is bit-identical to the u64 computation."""
+    D = key.dtype.type
+    key = (~key + (key << D(21))) & mask
+    key = key ^ (key >> D(24))
+    key = (key + (key << D(3)) + (key << D(8))) & mask
+    key = key ^ (key >> D(14))
+    key = (key + (key << D(2)) + (key << D(4))) & mask
+    key = key ^ (key >> D(28))
+    key = (key + (key << D(31))) & mask
     return key
 
 
@@ -138,6 +149,27 @@ def canonical_hash(x0, x1, x2, x3, k: int):
     h0 = (w0 + h1) & mask
     ret = ((w0 ^ h1) << U64(k)) | h0
     return ret, h0, h1
+
+
+def canonical_hash32(x0, x1, x2, x3, k: int):
+    """canonical_hash in pure uint32 (k <= 31): returns (h0, h1) only.
+
+    Bit-identical to the u64 canonical_hash's h0/h1 (wang_hash is
+    mask-equivalent across widths); the 2k-bit Bloom `ret` cannot fit
+    u32 and counting keeps the u64 path.  The all-32-bit dataflow is
+    what keeps downstream table-probe gathers on the parallel path
+    (PLAN.md round-4)."""
+    assert k <= 31
+    U = jnp.uint32
+    mask = U((1 << k) - 1)
+    t = U(k >> 1)
+    u = ((x1 >> t) & U(1)) > ((x3 >> t) & U(1))
+    a0 = jnp.where(u, x2, x0)
+    a1 = jnp.where(u, x3, x1)
+    w0 = wang_hash((a0 + a1) & mask, mask)
+    h1 = wang_hash(w0 ^ a1, mask)
+    h0 = (w0 + h1) & mask
+    return h0, h1
 
 
 def shard_and_keybody(h0, h1, k: int, l_pre: int):
@@ -192,39 +224,56 @@ def bitrev64(x):
     return (x << U64(32)) | (x >> U64(32))
 
 
+def bitrev32(x):
+    """Bit-reverse each uint32 lane."""
+    U = jnp.uint32
+    x = ((x & U(0x55555555)) << U(1)) | ((x >> U(1)) & U(0x55555555))
+    x = ((x & U(0x33333333)) << U(2)) | ((x >> U(2)) & U(0x33333333))
+    x = ((x & U(0x0F0F0F0F)) << U(4)) | ((x >> U(4)) & U(0x0F0F0F0F))
+    x = ((x & U(0x00FF00FF)) << U(8)) | ((x >> U(8)) & U(0x00FF00FF))
+    return (x << U(16)) | (x >> U(16))
+
+
 def reverse_k(x, k: int):
-    """Reverse the low k bits of each lane (high bits must be zero)."""
+    """Reverse the low k bits of each lane (high bits must be zero).
+
+    Dtype-follows-input: uint32 lanes (k <= 31) stay uint32."""
+    if x.dtype == jnp.uint32:
+        return bitrev32(x) >> jnp.uint32(32 - k)
     return bitrev64(x) >> U64(64 - k)
 
 
 def append_base(x0, x1, x2, x3, c, k: int):
     """Vectorized single-base roll of 4-plane k-mer states (kmer.h:10-17).
 
-    x*: u64 arrays; c: integer array of base codes 0..3."""
-    mask = U64((1 << k) - 1)
-    c = jnp.asarray(c).astype(U64)
-    lo = c & U64(1)
-    hi = (c >> U64(1)) & U64(1)
-    n0 = ((x0 << U64(1)) | lo) & mask
-    n1 = ((x1 << U64(1)) | hi) & mask
-    n2 = (x2 >> U64(1)) | ((lo ^ U64(1)) << U64(k - 1))
-    n3 = (x3 >> U64(1)) | ((hi ^ U64(1)) << U64(k - 1))
+    x*: u64 or u32 (k <= 31) arrays; c: integer array of base codes
+    0..3.  Output dtype follows x0."""
+    D = x0.dtype.type
+    mask = D((1 << k) - 1)
+    c = jnp.asarray(c).astype(x0.dtype)
+    lo = c & D(1)
+    hi = (c >> D(1)) & D(1)
+    n0 = ((x0 << D(1)) | lo) & mask
+    n1 = ((x1 << D(1)) | hi) & mask
+    n2 = (x2 >> D(1)) | ((lo ^ D(1)) << D(k - 1))
+    n3 = (x3 >> D(1)) | ((hi ^ D(1)) << D(k - 1))
     return n0, n1, n2, n3
 
 
 def change_base(x0, x1, x2, x3, d, c, k: int):
     """Vectorized substitution d positions from the 3' end (kmer.h:19-27)."""
-    d = jnp.asarray(d).astype(U64)
-    c = jnp.asarray(c).astype(U64)
-    lo = c & U64(1)
-    hi = (c >> U64(1)) & U64(1)
-    t = ~(U64(1) << d)
+    D = x0.dtype.type
+    d = jnp.asarray(d).astype(x0.dtype)
+    c = jnp.asarray(c).astype(x0.dtype)
+    lo = c & D(1)
+    hi = (c >> D(1)) & D(1)
+    t = ~(D(1) << d)
     n0 = (lo << d) | (x0 & t)
     n1 = (hi << d) | (x1 & t)
-    e = U64(k - 1) - d
-    t2 = ~(U64(1) << e)
-    n2 = ((lo ^ U64(1)) << e) | (x2 & t2)
-    n3 = ((hi ^ U64(1)) << e) | (x3 & t2)
+    e = D(k - 1) - d
+    t2 = ~(D(1) << e)
+    n2 = ((lo ^ D(1)) << e) | (x2 & t2)
+    n3 = ((hi ^ D(1)) << e) | (x3 & t2)
     return n0, n1, n2, n3
 
 

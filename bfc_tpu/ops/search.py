@@ -171,10 +171,38 @@ def _hcols(H):
     return jnp.arange(H, dtype=jnp.int32)
 
 
+def _flat_extract() -> bool:
+    """Per-row extracts as FLAT unsigned-u32 gathers instead of dense
+    one-hot reduces.  The parallel gather path (PLAN.md round-4) makes a
+    16k-element flat gather ~1 us, while each one-hot [B,16]/[B,256]
+    masked reduce costs 0.04-0.1 ms and the loop body runs ~15 of them
+    per trip.  Read at trace time so probe sessions can A/B it."""
+    import os
+
+    return os.environ.get("BFC_TPU_FLAT_EXTRACT", "1") == "1"
+
+
+def _flatget_u32ish(arr, pos):
+    """arr[b, pos[b]] via one flat u32-indexed gather; 0 where pos is
+    out of [0, n) (the one-hot reduces' semantics for masked-off rows).
+    arr must be i32/u32 ([B, n], row-major); the i32 case bitcasts
+    through u32 (packed heap/meta words are non-negative)."""
+    B, n = arr.shape
+    is_i32 = arr.dtype == jnp.int32
+    u = jax.lax.bitcast_convert_type(arr, jnp.uint32) if is_i32 else arr
+    ok = (pos >= 0) & (pos < n)
+    posc = jnp.clip(pos, 0, n - 1).astype(jnp.uint32)
+    ix = jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(n) + posc
+    v = u.reshape(-1)[ix]
+    v = jnp.where(ok, v, jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(v, jnp.int32) if is_i32 else v
+
+
 def _hget(hp, pos):
-    """Dense one-hot row extraction: the heap is small ([B,128] i32), so
-    masked reduction is bandwidth-bound (~MBs) while XLA lowers dynamic
-    row gathers to serialized per-row loops (~10x slower)."""
+    """Per-row heap-entry extraction: flat u32 gather (parallel path) or
+    the dense one-hot reduce fallback ([B,16] masked sum)."""
+    if _flat_extract():
+        return _flatget_u32ish(hp, pos)
     H = hp.shape[1]
     oh = _hcols(H)[None, :] == pos[:, None]
     return jnp.sum(jnp.where(oh, hp, 0), axis=1, dtype=jnp.int32)
@@ -182,9 +210,11 @@ def _hget(hp, pos):
 
 def _rowget(arr, pos):
     """Dense per-row element extraction for any non-negative-valued pool
-    array (measured: XLA serializes dynamic row gathers per element at
-    ~90ns each, so a [B] gather costs ~180us at B=2048, while a fused
-    masked max-reduce is bandwidth-bound at ~10-30us)."""
+    array.  32-bit arrays go through the flat-gather fast path; u64
+    pools (st_ecp) keep the one-hot reduce - a u64 gather is itself the
+    serialized form and would cost more than the dense pass."""
+    if _flat_extract() and arr.dtype in (jnp.int32, jnp.uint32):
+        return _flatget_u32ish(arr, pos)
     n = arr.shape[1]
     oh = jnp.arange(n, dtype=I32)[None, :] == pos[:, None]
     zero = jnp.zeros((), arr.dtype)
@@ -320,6 +350,17 @@ def _shift_ecp(ecp, zi, pen_ec, pen_ec_high):
     return new_ec | (new_eph << U64(45))
 
 
+def _fast_probe_ok(table, cfg: SearchConfig) -> bool:
+    """Eligibility of the all-32-bit probe path (PLAN.md round-4): the
+    u32 canonical hash needs k <= 31 and the u32 slot math c_bits <= 32.
+    All static properties - the choice is baked per compiled program."""
+    return (
+        isinstance(table, spec.CuckooTable)
+        and cfg.k <= 31
+        and cfg.s_bits <= 32
+    )
+
+
 def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3, valid=None):
     """Batched occ lookup; returns (occ, overflow-scalar).
 
@@ -327,13 +368,24 @@ def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3, valid=None):
     flags an exhausted routing bucket (results unusable -> the driver
     retries the batch with doubled slack).  `valid` (sharded only)
     keeps dead lanes out of the routing buckets - dead lanes often
-    share one constant window, which would skew one destination."""
-    _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
-    q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
+    share one constant window, which would skew one destination.
+
+    When the planes arrive as uint32 (k <= 31 callers) and the table
+    is an eligible CuckooTable, the whole hash -> slot -> gather chain
+    runs in unsigned 32-bit arithmetic: the probe gathers then ride the
+    v5e's parallel gather path (~2000x the serialized u64 form)."""
     no_ovf = jnp.zeros((), bool)
     import os
 
-    if os.environ.get("BFC_TPU_PROBE_NO_OCC", "0") == "1":
+    probe_off = os.environ.get("BFC_TPU_PROBE_NO_OCC", "0") == "1"
+    if x0.dtype == jnp.uint32 and _fast_probe_ok(table, cfg) and not probe_off:
+        h0, h1 = kops.canonical_hash32(x0, x1, x2, x3, cfg.k)
+        return spec.cuckoo_lookup32(table, h0, h1, cfg.k, cfg.s_bits), no_ovf
+    if x0.dtype == jnp.uint32:
+        x0, x1, x2, x3 = (a.astype(jnp.uint64) for a in (x0, x1, x2, x3))
+    _, h0, h1 = kops.canonical_hash(x0, x1, x2, x3, cfg.k)
+    q_shard, q_kb = kops.shard_and_keybody(h0, h1, cfg.k, cfg.l_pre)
+    if probe_off:
         # measurement-only (trace-time): skip the table gathers entirely
         # (garbage results) to expose the gather share of the trip time
         return (q_shard.astype(jnp.int32) & 0xFF) | 0x700, no_ovf
@@ -390,11 +442,14 @@ def ec1dir_batch(
     assert H > H_SLICE, "heap_cap must exceed the hot window"
     assert L <= 504, "read length exceeds the packed position field"
     k = cfg.k
-    kmask = U64((1 << k) - 1)
     # pool/window plane dtype: a k-bit window fits u32 for k <= 31, and
     # the pool extracts/writes are bandwidth-bound dense passes - half
-    # the bytes is half the pass cost (u64 kept for larger k)
+    # the bytes is half the pass cost (u64 kept for larger k).  For
+    # k <= 31 the WHOLE candidate chain (planes -> append -> hash ->
+    # table slots) now stays u32, which is what lets the probe gathers
+    # ride the parallel path (see _occ_of / PLAN.md round-4)
     PT = jnp.uint32 if k <= 31 else U64
+    kmask = PT((1 << k) - 1)
     end = lens  # the search end is always the read length (correct.c:425,430)
     r = _rows(B)
     iter_cap = (
@@ -417,14 +472,14 @@ def ec1dir_batch(
     # The RC planes come from bit-reversing the backward window pack of
     # the complement bits (full-window planes are undefined near the
     # read start); bit 0 is zeroed: only k-1 bases are rolled in.
-    lo = (seq_b & 1).astype(U64)
-    hi = ((seq_b >> 1) & 1).astype(U64)
-    bw_lo = kops.window_pack_backward(lo, k)
-    bw_hi = kops.window_pack_backward(hi, k)
-    bw_clo = kops.window_pack_backward(lo ^ U64(1), k)
-    bw_chi = kops.window_pack_backward(hi ^ U64(1), k)
+    lo = (seq_b & 1).astype(PT)
+    hi = ((seq_b >> 1) & 1).astype(PT)
+    bw_lo = kops.window_pack_backward(lo, k, PT)
+    bw_hi = kops.window_pack_backward(hi, k, PT)
+    bw_clo = kops.window_pack_backward(lo ^ PT(1), k, PT)
+    bw_chi = kops.window_pack_backward(hi ^ PT(1), k, PT)
     prev = jnp.maximum(init_i - 1, 0)
-    maskk1 = U64((1 << (k - 1)) - 1)
+    maskk1 = PT((1 << (k - 1)) - 1)
     st = State(
         hp16=jnp.zeros((B, H_SLICE), I32),
         hpr=jnp.zeros((B, H - H_SLICE), I32),
@@ -435,8 +490,8 @@ def ec1dir_batch(
         st_n=jnp.zeros((B,), I32),
         root_x0=_rowget(bw_lo, prev) & maskk1,
         root_x1=_rowget(bw_hi, prev) & maskk1,
-        root_x2=kops.reverse_k(_rowget(bw_clo, prev), k) & ~U64(1),
-        root_x3=kops.reverse_k(_rowget(bw_chi, prev), k) & ~U64(1),
+        root_x2=kops.reverse_k(_rowget(bw_clo, prev), k) & ~PT(1),
+        root_x3=kops.reverse_k(_rowget(bw_chi, prev), k) & ~PT(1),
         min_path_pen=jnp.full((B,), BIG, I32),
         min_path_k=jnp.full((B,), -2, I32),
         n_paths=jnp.zeros((B,), I32),
@@ -476,7 +531,7 @@ def ec1dir_batch(
     assert FF_STEP <= 63, "run length must fit the 6-bit meta field"
     FF_FOLD = cfg.ff_fold and FF_STEP > 0
     FF_PATHS = cfg.ff_paths
-    x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k)
+    x0w, x1w, x2w, x3w = kops.kmer_planes(seq_b, k, PT)
     x0w_p = x0w.astype(PT)  # pool-dtype copies for the per-iteration extracts
     x1w_p = x1w.astype(PT)
     wvalid = kops.valid_kmer_mask(seq_b, lens, k)
@@ -623,8 +678,8 @@ def ec1dir_batch(
         # ---- fetch the popped state's payload (stack pool or root)
         is_root = z_k < 0
         zkc = jnp.maximum(z_k, 0)
-        z_x0 = jnp.where(is_root, st.root_x0, _rowget(st.st_x0, zkc).astype(U64))
-        z_x1 = jnp.where(is_root, st.root_x1, _rowget(st.st_x1, zkc).astype(U64))
+        z_x0 = jnp.where(is_root, st.root_x0, _rowget(st.st_x0, zkc))
+        z_x1 = jnp.where(is_root, st.root_x1, _rowget(st.st_x1, zkc))
         # stack states always hold full k-base windows: RC = rev_k ^ mask
         z_x2 = jnp.where(is_root, st.root_x2, kops.reverse_k(z_x0, k) ^ kmask)
         z_x3 = jnp.where(is_root, st.root_x3, kops.reverse_k(z_x1, k) ^ kmask)
@@ -687,8 +742,8 @@ def ec1dir_batch(
                 )
             stepsm = jnp.where(elig, steps, 0)
             run_meta = (stepsm << 25) | (last_pos << 16) | ((z_k + 1) << 6)
-            ext0 = _rowget(x0w_p, last_pos).astype(U64)
-            ext1 = _rowget(x1w_p, last_pos).astype(U64)
+            ext0 = _rowget(x0w_p, last_pos)
+            ext1 = _rowget(x1w_p, last_pos)
             z_x0 = jnp.where(elig, ext0, z_x0)
             z_x1 = jnp.where(elig, ext1, z_x1)
             z_x2 = jnp.where(elig, kops.reverse_k(ext0, k) ^ kmask, z_x2)
@@ -702,9 +757,8 @@ def ec1dir_batch(
         # per-read column extraction runs dense (one-hot mask + reduce):
         # the rows are short and XLA's dynamic row gather serializes
         zic = jnp.minimum(zi, L - 1)
-        ohz = idx[None, :] == zic[:, None]
         c_none = zi >= lens
-        c_pk = jnp.sum(jnp.where(ohz, cand_pk, 0), axis=1, dtype=I32)
+        c_pk = _rowget(cand_pk, zic)
         c_b = jnp.where(c_none, 4, c_pk & 7)
         c_q = ~c_none & ((c_pk & 8) != 0)
         c_oq = ~c_none & ((c_pk & 16) != 0)
@@ -722,10 +776,7 @@ def ec1dir_batch(
         act = act & ~lost
         ext = ext & ~lost
         cb_ok = ~c_none & (c_b < 4)
-        oh4 = jnp.arange(4, dtype=I32)[None, :] == jnp.minimum(c_b, 3)[:, None]
-        os = jnp.where(
-            cb_ok, jnp.sum(jnp.where(oh4, occ, 0), axis=1, dtype=I32), -1
-        )
+        os = jnp.where(cb_ok, _rowget(occ, jnp.minimum(c_b, 3)), -1)
         os_cnt = os & 0xFF          # NB: os==-1 reads as 255 (correct.c:300 quirk)
         fixed = (zi > end) | (
             cb_ok
@@ -824,10 +875,10 @@ def ec1dir_batch(
             axis=1,
         )
         nx0_4 = jnp.stack(
-            [((z_x0 << U64(1)) | U64(b & 1)) & kmask for b in range(4)], axis=1
+            [((z_x0 << PT(1)) | PT(b & 1)) & kmask for b in range(4)], axis=1
         )
         nx1_4 = jnp.stack(
-            [((z_x1 << U64(1)) | U64(b >> 1)) & kmask for b in range(4)], axis=1
+            [((z_x1 << PT(1)) | PT(b >> 1)) & kmask for b in range(4)], axis=1
         )
         # pushed slots are consecutive (slot4 = st_n + ffsh + rank), so
         # the pool write is a fused dense select on columns

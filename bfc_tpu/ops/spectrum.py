@@ -286,18 +286,24 @@ class PackedTable(NamedTuple):
 class CuckooTable(NamedTuple):
     """Two-choice (partial-key cuckoo) spectrum table.
 
-    The lookup hot path is a random HBM gather whose cost is per
-    element, so the layout is chosen to make every lookup EXACTLY two
-    single-element probes with no continuation loop (the displacement
-    layouts need a data-dependent while round whose cost is a full
-    extra gather over all queries).  Entry: identity_low << 15 |
-    nest(1) << 14 | payload(14); payload == 0 marks an empty slot.
-    Slot s1 = top c_bits of the position key (nest 0); slot
-    s2 = s1 ^ mult_hash(identity_low) (nest 1).  The (slot, nest,
-    identity_low) triple reconstructs the full identity, so matches are
-    exact - same guarantee as the khash key compare (htab.c:84-92)."""
+    The lookup hot path is a random HBM gather, so the layout is chosen
+    to make every lookup EXACTLY two probes with no continuation loop.
+    Conceptual entry: identity_low << 15 | nest(1) << 14 | payload(14);
+    payload == 0 marks an empty slot.  Slot s1 = top c_bits of the
+    position key (nest 0); slot s2 = s1 ^ alt_hash(identity_low)
+    (nest 1).  The (slot, nest, identity_low) triple reconstructs the
+    full identity, so matches are exact - same guarantee as the khash
+    key compare (htab.c:84-92).
 
-    entries: jax.Array  # u64 [1 << c_bits]
+    STORAGE IS TWO u32 PLANES, not one u64 array: the v5e's parallel
+    gather path (~1-2 us per 65536 random loads, table-size-
+    independent) only engages for <= 32-bit operands with an all-32-bit
+    unsigned index chain; a u64-array gather falls to a serialized
+    ~15 ns/index loop (PLAN.md round-4 discovery).  lo holds entry bits
+    0-31 (payload | nest<<14 | qlow<<15 low bits), hi bits 32-63."""
+
+    lo: jax.Array  # u32 [1 << c_bits]
+    hi: jax.Array  # u32 [1 << c_bits]
 
 
 class ShardedCuckoo(NamedTuple):
@@ -501,6 +507,50 @@ def cuckoo_build_local(shard, keybody, payload, c_bits: int, cb_local: int,
 
 _CUCKOO_GOLD = U64(0x9E3779B97F4A7C15)
 
+# CuckooTable alternate-slot hash for c_bits <= 32: a pure-u32 mix of
+# the two qlow words, so the search's slot computation never touches a
+# 64-bit op (any 64-bit op in a gather's index dataflow forces XLA's
+# serialized gather - PLAN.md round-4).  Must match _alt32_np /
+# cuckoo_lookup32 / build_cuckoo_table_host bit-for-bit.  c_bits > 32
+# tables keep the original 64-bit GOLD multiply.  Layout-only: the
+# placement hash is never output-visible.
+_ALT_C1 = 0x9E3779B9
+_ALT_C2 = 0x85EBCA6B
+
+
+def cuckoo_alt_u64(qlow, c_bits: int):
+    """Alternate-slot offset from a u64 qlow (build/generic-lookup side)."""
+    if c_bits > 32:
+        return (qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)
+    h = (
+        ((qlow & U64(0xFFFFFFFF)) * U64(_ALT_C1))
+        ^ ((qlow >> U64(32)) * U64(_ALT_C2))
+    ) & U64(0xFFFFFFFF)
+    return h >> U64(32 - c_bits)
+
+
+def cuckoo_alt_np(qlow, c_bits: int):
+    import numpy as np
+
+    if c_bits > 32:
+        return (qlow * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - c_bits)
+    h = (
+        ((qlow & np.uint64(0xFFFFFFFF)) * np.uint64(_ALT_C1))
+        ^ ((qlow >> np.uint64(32)) * np.uint64(_ALT_C2))
+    ) & np.uint64(0xFFFFFFFF)
+    return h >> np.uint64(32 - c_bits)
+
+
+def cuckoo_from_u64(entries) -> CuckooTable:
+    """Split a u64 entry array (host build output) into the u32 planes."""
+    import numpy as np
+
+    e = np.asarray(entries)
+    return CuckooTable(
+        lo=jnp.asarray((e & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        hi=jnp.asarray((e >> np.uint64(32)).astype(np.uint32)),
+    )
+
 
 def identity_bits(l_pre: int, kb_bits: int) -> int:
     return l_pre + kb_bits
@@ -527,21 +577,24 @@ def _fused_probe() -> bool:
 @functools.partial(jax.jit, static_argnames=("c_bits", "l_pre", "kb_bits"))
 def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
                   l_pre: int, kb_bits: int):
-    """Batched payload lookup: two single-element gathers, no loop."""
+    """Batched payload lookup: two probes, no loop (generic u64 path).
+
+    This path's slot indices derive from 64-bit key arithmetic, so its
+    gathers run serialized (~15 ns/index) - it serves big-k / big-table
+    configs and cold callers (tests, tools).  The correction hot loop
+    uses cuckoo_lookup32 (all-32-bit chain, parallel gathers)."""
     pk = posk64(q_shard, q_keybody, l_pre, kb_bits)
     # i64 slots: c_bits >= 32 (multi-billion-entry tables) must not wrap
     s1 = (pk >> U64(64 - c_bits)).astype(jnp.int64)
     qlow = _id_low(q_shard, q_keybody, l_pre, kb_bits, c_bits)
-    alt = ((qlow * _CUCKOO_GOLD) >> U64(64 - c_bits)).astype(jnp.int64)
+    alt = cuckoo_alt_u64(qlow, c_bits).astype(jnp.int64)
     s2 = s1 ^ alt
-    if _fused_probe():
-        shp = s1.shape
-        e12 = table.entries[jnp.stack([s1.reshape(-1), s2.reshape(-1)])]
-        e1 = e12[0].reshape(shp)
-        e2 = e12[1].reshape(shp)
-    else:
-        e1 = table.entries[s1]
-        e2 = table.entries[s2]
+
+    def fetch(s):
+        return table.lo[s].astype(U64) | (table.hi[s].astype(U64) << U64(32))
+
+    e1 = fetch(s1)
+    e2 = fetch(s2)
 
     def match(e, nest):
         return (
@@ -553,6 +606,62 @@ def cuckoo_lookup(table: CuckooTable, q_shard, q_keybody, c_bits: int,
     v1 = (e1 & U64(0x3FFF)).astype(jnp.int32)
     v2 = (e2 & U64(0x3FFF)).astype(jnp.int32)
     return jnp.where(match(e1, 0), v1, jnp.where(match(e2, 1), v2, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "c_bits"))
+def cuckoo_lookup32(table: CuckooTable, h0, h1, k: int, c_bits: int):
+    """Batched payload lookup with an ALL-32-BIT dataflow (the hot path).
+
+    h0/h1: u32 [...] canonical-hash words (k bits each, k <= 31;
+    kops.canonical_hash32).  Requires c_bits <= 32.  Equivalent to
+    cuckoo_lookup for k <= 32 identities: there the position key is
+    z = (h0 << k) | h1 left-justified, so slot = top c_bits of z and
+    qlow = low (2k - c_bits) bits of z (htab.c:45-58 split composed
+    with posk64/_id_low).  Keeping every op feeding the gather indices
+    in unsigned 32-bit arithmetic engages the v5e's parallel gather
+    path: ~1-2 us per 65536 probes, table-size-independent, vs ~15 ns
+    PER INDEX serialized otherwise (PLAN.md round-4; measured
+    scripts/r4d_results.json case E)."""
+    assert k <= 31 and c_bits <= 32 and c_bits <= 2 * k
+    U32_ = U32
+    nbits = 2 * k - c_bits  # qlow width, <= 49 by cuckoo_ok
+    # top c_bits of z = (h0 << k) | h1
+    if c_bits <= k:
+        s1 = h0 >> U32_(k - c_bits)
+    else:
+        s1 = (h0 << U32_(c_bits - k)) | (h1 >> U32_(2 * k - c_bits))
+    # qlow as two u32 words (z's low 32 bits, then bits 32..)
+    z_lo32 = h1 | (h0 << U32_(k)) if 2 * k > 32 else (h1 | (h0 << U32_(k)))
+    z_hi = h0 >> U32_(32 - k) if 2 * k > 32 else jnp.zeros_like(h0)
+    if nbits >= 32:
+        ql_lo = z_lo32
+        ql_hi = z_hi & U32_((1 << (nbits - 32)) - 1)
+    else:
+        ql_lo = z_lo32 & U32_((1 << nbits) - 1)
+        ql_hi = jnp.zeros_like(z_lo32)
+    alt = ((ql_lo * U32_(_ALT_C1)) ^ (ql_hi * U32_(_ALT_C2)))
+    if c_bits < 32:
+        alt = alt >> U32_(32 - c_bits)
+    s2 = s1 ^ alt
+    e1l = table.lo[s1]
+    e1h = table.hi[s1]
+    e2l = table.lo[s2]
+    e2h = table.hi[s2]
+
+    def match(el, eh, nest):
+        # entry = qlow << 15 | nest << 14 | payload(14), split lo/hi
+        q_lo32 = (el >> U32_(15)) | (eh << U32_(17))
+        q_hi17 = eh >> U32_(15)
+        return (
+            ((el & U32_(0x3FFF)) != 0)
+            & (((el >> U32_(14)) & U32_(1)) == U32_(nest))
+            & (q_lo32 == ql_lo) & (q_hi17 == ql_hi)
+        )
+
+    v1 = (e1l & U32_(0x3FFF)).astype(jnp.int32)
+    v2 = (e2l & U32_(0x3FFF)).astype(jnp.int32)
+    return jnp.where(match(e1l, e1h, 0), v1,
+                     jnp.where(match(e2l, e2h, 1), v2, -1))
 
 
 def _id_low(shard, keybody, l_pre: int, kb_bits: int, s_bits: int):

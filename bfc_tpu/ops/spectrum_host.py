@@ -385,11 +385,13 @@ def build_cuckoo_table_host(shard, keybody, payload, c_bits: int,
     entries = np.zeros((S,), np.uint64)
     if n == 0:
         return entries, True
+    from .spectrum import cuckoo_alt_np
+
     pk = posk64_np(shard, keybody, l_pre, kb_bits)
     s1 = (pk >> np.uint64(64 - c_bits)).astype(np.int64)
     qlow = _id_low_np(shard, keybody, l_pre, kb_bits, c_bits)
-    alt = ((qlow * np.uint64(0x9E3779B97F4A7C15))
-           >> np.uint64(64 - c_bits)).astype(np.int64)
+    # alt hash must match cuckoo_lookup/cuckoo_lookup32 bit-for-bit
+    alt = cuckoo_alt_np(qlow, c_bits).astype(np.int64)
     cur, pref, ok = _cuckoo_place_np(s1, s1 ^ alt, S, max_rounds)
     if not ok:
         return entries, False

@@ -343,26 +343,48 @@ def count_file_mesh(fn: str, opt, mesh: Mesh, batch_reads: int = 8192,
     from ..io import fast_reader as FR
     from ..models.counter import _round_up
 
+    import jax
+
+    # multi-host: every process shares the byte scan (record offsets)
+    # but DECODES and pads only the row stride its local devices own -
+    # input work per host is 1/n_hosts instead of replicated (SURVEY
+    # §5.8; the reference's one reader thread never replicates work,
+    # bseq.c:52-76).  gput row-shards each padded batch process-major,
+    # so rows outside [row_lo, row_hi) never leave this host anyway.
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    assert batch_reads % max(n_proc, 1) == 0
+    step = batch_reads // max(n_proc, 1)
+    row_lo, row_hi = pid * step, (pid + 1) * step
+    dec = (row_lo, row_hi) if n_proc > 1 else None
+
     def batches():
         pad_L = 0
         for rb in FR.iter_batches_prefetch(fn, batch_reads,
-                                           max_bases=opt.chunk_size):
+                                           max_bases=opt.chunk_size,
+                                           decode_range=dec):
             n = rb.n
+            if dec is not None:
+                # -L splits can shift the decoded stride off this rb's
+                # rows; repair the owned range (rare, cheap)
+                rb.ensure_decoded(row_lo, min(row_hi, n))
+            lo, hi = (0, n) if dec is None else (min(row_lo, n),
+                                                 min(row_hi, n))
             pad_L = max(pad_L, _round_up(int(rb.lens.max()) if n else 1, 32))
             L = pad_L
             Lc = min(L, rb.bases.shape[1])
             bases = np.full((batch_reads, L), 4, np.uint8)
-            bases[:n, :Lc] = rb.bases[:, :Lc]
+            bases[lo:hi, :Lc] = rb.bases[lo:hi, :Lc]
             lens = np.zeros((batch_reads,), np.int32)
-            lens[:n] = rb.lens
+            lens[:n] = rb.lens  # lens are global metadata (cheap, complete)
             qok = np.zeros((batch_reads, L), bool)
-            has_q = rb.has_qual()
-            inb = np.arange(Lc)[None, :] < rb.lens[:, None]
-            qok[:n, :Lc] = np.where(
+            has_q = rb.has_qual()[lo:hi]
+            inb = np.arange(Lc)[None, :] < rb.lens[lo:hi, None]
+            qok[lo:hi, :Lc] = np.where(
                 has_q[:, None],
-                rb.quals[:, :Lc].astype(np.int32) - 33 >= opt.q, inb,
+                rb.quals[lo:hi, :Lc].astype(np.int32) - 33 >= opt.q, inb,
             )
-            yield bases, qok, lens
+            yield bases, qok, lens, n
     return count_encoded_mesh(batches(), opt, mesh, batch_reads=batch_reads,
                               shard_table=shard_table)
 
@@ -375,7 +397,9 @@ def count_encoded_mesh(batch_iter, opt, mesh: Mesh, batch_reads: int = 8192,
     (_finalize_sharded) - the full aggregate is never gathered.
 
     batch_iter yields (bases u8 [batch_reads, L], qok bool, lens i32)
-    encoded batches in stream order (L may grow monotonically).
+    encoded batches in stream order (L may grow monotonically), with an
+    optional trailing true record count (zero-length records occupy a
+    row but have lens == 0; the reference logs every record).
 
     With shard_table the spectrum stays a prefix-sharded ShardedCuckoo
     for correction (the human-scale layout); otherwise the kept compact
@@ -448,8 +472,11 @@ def count_encoded_mesh(batch_iter, opt, mesh: Mesh, batch_reads: int = 8192,
         name="count_file_mesh",
     )
 
-    for bases, qok, lens in batch_iter:
-        n_reads += int(np.sum(lens > 0))
+    for tup in batch_iter:
+        bases, qok, lens = tup[:3]
+        # true record count when the iterator provides it (zero-length
+        # records must still be logged); lens>0 is the legacy fallback
+        n_reads += int(tup[3]) if len(tup) > 3 else int(np.sum(lens > 0))
         L = bases.shape[1]
         bases_s = gput(bases, mesh, P("d"))
         qok_s = gput(qok, mesh, P("d"))

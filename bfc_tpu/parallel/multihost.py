@@ -10,17 +10,25 @@ jax.distributed:
             single coordinator; the global mesh spans all hosts' devices
             (process-major order, so row-sharding by device equals
             row-sharding by host).
-  input     every host streams the same FASTQ (parsing is cheap next to
-            device compute - the reference's single reader thread model,
-            bseq.c:52-76); each host device_puts only the row range its
-            local devices own (mesh.gput).
+  input     every host scans the same FASTQ byte stream for record
+            boundaries (offsets/lens - the cheap part), but DECODES and
+            pads only the row stride its local devices own
+            (fastx_parse_range + mesh.count_file_mesh; the reference's
+            single reader thread never replicates work, bseq.c:52-76),
+            then device_puts just that stride (mesh.gput).  Correction
+            input keeps full decode on every host: difficulty bucketing
+            permutes rows globally, so each host's device slice draws
+            from arbitrary input rows.
   compute   unchanged: the sharded counting all_to_alls and the
             dp/sharded-table correction ride the same shard_map programs,
             now spanning hosts (DCN/ICI instead of one chip's ICI).
-  output    per-batch result arrays are allgathered to every host
-            (mesh.to_host); each host assembles identical records and
-            rank 0 alone emits them, preserving the reference's
-            ordered-output guarantee (kthread.c:92-101) by construction.
+  output    per-batch result arrays are replicated by one device-level
+            allgather (mesh.to_host, a collective every host must join),
+            packed 4x smaller on device (correct_core's packed_bq
+            plane); rank 0 ALONE assembles and emits records
+            (BatchResult.emit) - host-side output work does not scale
+            with host count - preserving the reference's ordered-output
+            guarantee (kthread.c:92-101) by construction.
 
 Launch modes:
 

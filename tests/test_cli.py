@@ -65,3 +65,40 @@ def test_parse_size_suffix_forms():
     assert parse_size("1e3") == 1001
     assert parse_size("250k") == 250_001
     assert parse_size("7") == 8
+
+
+def _trace_lines(stderr_bytes: bytes):
+    """Extract the -V4 per-read search trace from stderr.
+
+    Trace lines (correct.c:284-287,302-306,321-322,380-384) start with
+    spaces or '*'; everything else on stderr is [M::...] progress logs
+    or the version/CMD epilogue."""
+    return [
+        ln for ln in stderr_bytes.splitlines()
+        if ln.startswith(b" ") or ln.startswith(b"*")
+    ]
+
+
+def test_v4_trace_parity(tmp_path):
+    """-V4 stderr search trace is byte-identical to the reference's
+    (correct.c:284-287 pop lines, 302-306 original-base lines, 321-322
+    alternative-count lines, 380-384 path summary + masked sequence)."""
+    import os
+
+    fq = datagen.standard_dataset(
+        str(tmp_path), genome_len=2000, n_reads=500, name="v4.fq"
+    )
+    ref_out, ref_err = oracle.run_bfc(["-k17", "-b20", "-t1", "-V4", fq])
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ""
+    p = subprocess.run(
+        [sys.executable, "-m", "bfc_tpu", "-k17", "-b20", "-V4", fq],
+        capture_output=True, env=env, timeout=900,
+    )
+    assert p.returncode == 0, p.stderr.decode()
+    assert p.stdout == ref_out
+    mine = _trace_lines(p.stderr)
+    ref = _trace_lines(ref_err)
+    assert len(mine) == len(ref), (len(mine), len(ref))
+    assert mine == ref

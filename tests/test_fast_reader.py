@@ -83,3 +83,48 @@ def test_split_by_bases(tmp_path):
     assert names == [f"r{i}" for i in range(10)]
     # no bound: single batch
     assert [b.n for b in FR.iter_batches(path, 100)] == [10]
+
+
+def test_decode_range_stride(tmp_path):
+    """Multi-host stride decode: rows outside decode_range keep padding
+    in bases/quals but full record structure (offsets/lens/text), and
+    ensure_decoded repairs any owned rows the parser skipped."""
+    path = datagen.standard_dataset(
+        str(tmp_path), genome_len=3000, n_reads=700, name="dr.fq"
+    )
+    full = list(FR.iter_batches(path, 256))
+    part = list(FR.iter_batches(path, 256, decode_range=(64, 128)))
+    assert len(full) == len(part)
+    for fb, pb in zip(full, part):
+        assert pb.n == fb.n
+        np.testing.assert_array_equal(pb.lens, fb.lens)
+        lo, hi = pb.decoded
+        assert (lo, hi) == (min(64, pb.n), min(128, pb.n))
+        np.testing.assert_array_equal(pb.bases[lo:hi], fb.bases[lo:hi])
+        np.testing.assert_array_equal(pb.quals[lo:hi], fb.quals[lo:hi])
+        # undecoded rows: bases still at the pad value, text intact
+        if lo > 0:
+            assert (pb.bases[:lo] == 4).all()
+            assert pb.seq(0) == fb.seq(0)
+            assert pb.qual(0) == fb.qual(0)
+        # repair arbitrary rows (disjoint from the decoded stride)
+        pb.ensure_decoded(0, pb.n)
+        np.testing.assert_array_equal(pb.bases, fb.bases)
+        np.testing.assert_array_equal(pb.quals, fb.quals)
+
+
+def test_decode_range_with_split(tmp_path):
+    """decode_range composed with the -L max_bases split: pieces carry
+    shifted decoded ranges and ensure_decoded restores full parity."""
+    path = datagen.standard_dataset(
+        str(tmp_path), genome_len=3000, n_reads=700, name="drs.fq"
+    )
+    full = list(FR.iter_batches(path, 256, max_bases=10_000))
+    part = list(FR.iter_batches(path, 256, max_bases=10_000,
+                                decode_range=(0, 128)))
+    assert len(full) == len(part)
+    for fb, pb in zip(full, part):
+        assert pb.n == fb.n
+        pb.ensure_decoded(0, pb.n)
+        np.testing.assert_array_equal(pb.bases, fb.bases)
+        np.testing.assert_array_equal(pb.quals, fb.quals)

@@ -45,7 +45,7 @@ def test_sharded_lookup_matches_local():
         shard, keybody, payload, c_bits, l_pre, kb_bits
     )
     assert ok
-    table = spec.CuckooTable(entries=jnp.asarray(entries))
+    table = spec.cuckoo_from_u64(entries)
     # queries: hits + misses
     m = 4096
     qs = rng.integers(0, 1 << l_pre, m).astype(np.uint32)
@@ -133,7 +133,7 @@ def test_device_build_matches_host_lookups():
     )
     assert okh
     want = np.asarray(spec.cuckoo_lookup(
-        spec.CuckooTable(entries=jnp.asarray(entries_h)),
+        spec.cuckoo_from_u64(entries_h),
         jnp.asarray(qs), jnp.asarray(qk), c_bits, l_pre, kb_bits,
     ))
 
