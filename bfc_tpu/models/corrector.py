@@ -46,6 +46,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
     fused = os.environ.get("BFC_TPU_FUSED_DIRS", "1") == "1"
     ff_fold = os.environ.get("BFC_TPU_FF_FOLD", "1") == "1"
     ff_paths = os.environ.get("BFC_TPU_FF_PATHS", "1") == "1"
+    flat = os.environ.get("BFC_TPU_FLAT_EXTRACT", "1") == "1"
     return srch.SearchConfig(
         k=opt.k, min_cov=opt.min_cov, win_multi_ec=opt.win_multi_ec,
         max_end_ext=opt.max_end_ext, w_ec=opt.w_ec, w_ec_high=opt.w_ec_high,
@@ -54,7 +55,7 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
         heap_cap=128, stack_cap=stack_cap, iter_cap=iter_cap,
         s_bits=ds.s_bits, l_pre=ds.l_pre, kb_bits=ds.kb_bits,
         packed=ds.packed, ff_step=ff_step, fused_dirs=fused,
-        ff_fold=ff_fold, ff_paths=ff_paths,
+        ff_fold=ff_fold, ff_paths=ff_paths, flat_extract=flat,
     )
 
 

@@ -266,6 +266,16 @@ class AggBuilder:
         # tunnel pull and host merge overlap the still-running stream
         # instead of landing in the finish tail
         eager = os.environ.get("BFC_TPU_EAGER_SPILL", "1") == "1"
+        # eager threshold: rows above which a run is spilled mid-stream;
+        # lowering it moves more pull/merge work off the finish tail and
+        # onto the (niced, overlapped) spill worker at the price of more
+        # total host merge work
+        eager_min = int(os.environ.get("BFC_TPU_EAGER_MIN",
+                                       str(self.max_dev_cap)))
+        # incremental adjudication: per-Bloom-bit min-arrival folded in
+        # span-by-span on the spill worker (spectrum_host.BloomMinSketch)
+        # so finalize's verdict is a gather, not a sort of every probe
+        self._sketch = sph.BloomMinSketch.create(opt.bf_shift, opt.n_hashes)
         self.tree = LsmTree(
             merge=self._merge_bounded,
             to_host=self._run_to_host,
@@ -274,7 +284,7 @@ class AggBuilder:
             async_spill=True,  # plain pulls + numpy merges: thread-safe
             name="AggBuilder",
             size=lambda run: run[1],
-            eager_min=self.max_dev_cap if eager else 0,
+            eager_min=eager_min if eager else 0,
         )
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
@@ -428,12 +438,34 @@ class AggBuilder:
                     p.copy_to_host_async()
                 except Exception:
                     break
-            return self.sdn.packed_run_to_host_agg(
+            ha = self.sdn.packed_run_to_host_agg(
                 [np.asarray(p) for p in sliced], cnt, self.k, self.l_pre
             )
-        return self.sdn.run_to_host_agg(
-            self._pull_run(planes, cnt), cnt, self.k, self.l_pre
-        )
+        else:
+            ha = self.sdn.run_to_host_agg(
+                self._pull_run(planes, cnt), cnt, self.k, self.l_pre
+            )
+        self._scatter_sketch(ha)
+        return ha
+
+    def _scatter_sketch(self, ha) -> None:
+        """Fold one spilled span's per-bit min arrivals into the sketch.
+
+        Every aggregate row crosses device->host through _run_to_host
+        exactly once (LSM spills and the final pull), so the sketch sees
+        each span-local first_arr exactly once; min over spans == the
+        global first arrival, which is all the verdict needs.  Runs on
+        the niced pull worker for spills (overlapping the stream)."""
+        sk = self._sketch
+        if sk is None or not sk.valid:
+            return
+        ret = ha.ret
+        if ret is None:
+            ret = self.sdn.derive_ret_np(
+                np.asarray(ha.shard), np.asarray(ha.keybody, dtype=np.uint64),
+                self.k, self.l_pre,
+            )
+        sk.scatter(np.asarray(ret), np.asarray(ha.first_arr))
 
     def _fold(self, pending) -> None:
         import os
@@ -474,6 +506,7 @@ class AggBuilder:
         acc, hacc = self.tree.finish()
         hacc = self._ensure_ret(hacc)
         TAIL_TIMINGS["tree_finish"] = round(time.time() - t0, 2)
+        TAIL_TIMINGS["lsm"] = dict(self.tree.timings)  # cumulative anatomy
         log(f"counting tree finish: {time.time() - t0:.1f}s",
             func="AggBuilder")
         # the compile pool and executable cache are process-global and
@@ -482,14 +515,22 @@ class AggBuilder:
         if hacc is not None:
             log(f"{len(hacc.shard)} distinct k-mers aggregated (host tree)",
                 func="AggBuilder")
-            return hacc
+            return self._attach_sketch(hacc)
         if acc is None:
-            return sph.empty_host_agg()
+            return self._attach_sketch(sph.empty_host_agg())
         planes, count = acc
         log(f"{count} distinct k-mers aggregated", func="AggBuilder")
         # the single device->host pull of the whole counting pass
         # (packed layout; see _run_to_host)
-        return self._ensure_ret(self._run_to_host((planes, count)))
+        return self._attach_sketch(
+            self._ensure_ret(self._run_to_host((planes, count))))
+
+    def _attach_sketch(self, ha):
+        """Ride the converged sketch out on the final aggregate so
+        finalize_spectrum's verdict can gather instead of sort."""
+        if self._sketch is not None and self._sketch.valid:
+            ha = ha._replace(bloom_min=self._sketch)
+        return ha
 
 
 def count_stream_aggregate(
@@ -604,6 +645,10 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
         log(f"# distinct k-mers in table: {len(shard_c)} "
             f"(adjudicate {t1 - t0:.1f}s, table {time.time() - t1:.1f}s)")
         return ds
+    if getattr(agg, "bloom_min", None) is not None:
+        # the sketch is a host object, not a pytree leaf: strip it
+        # before the jitted device finalize
+        agg = agg._replace(bloom_min=None)
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
         agg, opt.bf_shift, opt.n_hashes
     )

@@ -97,7 +97,22 @@ def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 8192) -> Dev
             np.asarray(agg.shard), np.asarray(agg.keybody, dtype=np.uint64),
             opt.k, opt.effective_l_pre(),
         ))
-    rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
+    sketch = getattr(agg, "bloom_min", None)
+    if (sketch is not None and sketch.valid
+            and sketch.bf_shift == opt.bf_shift
+            and sketch.n_hashes == opt.n_hashes):
+        # incremental adjudication (spectrum_host.BloomMinSketch): the
+        # verdict is a host gather, skipping the device adjudicate sort
+        valid = np.asarray(agg.shard) != 0xFFFFFFFF
+        fp = sketch.verdict(np.asarray(agg.ret), np.asarray(agg.first_arr),
+                            valid)
+        keep = valid & ((np.asarray(agg.n) - 1 + fp.astype(np.uint32)) >= 1)
+        rets = jnp.asarray(agg.ret)
+        keep = jnp.asarray(keep)
+    else:
+        if sketch is not None:  # host object, not a pytree leaf: strip
+            agg = agg._replace(bloom_min=None)
+        rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
     log(f"processed {n_reads} sequences (filter mode)")
     return DeviceBloom.from_rets(rets, keep, opt.bf_shift, opt.n_hashes)
 

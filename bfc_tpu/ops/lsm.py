@@ -63,9 +63,21 @@ class LsmTree:
                  host_merge: Callable, async_spill: bool = False,
                  name: str = "LsmTree", size: Callable = None,
                  eager_min: int = 0):
+        import time
+
+        def timed(f, key):
+            def g(*a):
+                t0 = time.time()
+                out = f(*a)
+                self.timings[key] = round(
+                    self.timings.get(key, 0.0) + (time.time() - t0), 2)
+                return out
+            return g
+
+        self.timings: dict = {}   # cumulative pull/merge seconds (anatomy)
         self.merge = merge
-        self.to_host = to_host
-        self.host_merge = host_merge
+        self.to_host = timed(to_host, "pull")
+        self.host_merge = timed(host_merge, "host_merge")
         self.async_spill = async_spill
         self.name = name
         self.size = size
@@ -241,5 +253,6 @@ class LsmTree:
         self.host_levels = []
         if has_host:
             log(f"finish: device spill {t1 - t0:.1f}s, host chain "
-                f"{time.time() - t1:.1f}s", func=self.name)
+                f"{time.time() - t1:.1f}s, cumulative {self.timings}",
+                func=self.name)
         return acc, hacc

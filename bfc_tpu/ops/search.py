@@ -98,6 +98,11 @@ class SearchConfig(NamedTuple):
     # for lanes whose forward pass failed) - pays the per-trip fixed
     # overhead once instead of twice per batch
     fused_dirs: bool = True
+    # per-row extracts as flat u32 gathers (parallel gather path)
+    # instead of dense one-hot reduces; part of the config (and so the
+    # jit cache key) so probe sessions can A/B both compiled programs
+    # in ONE process (see _flat_extract)
+    flat_extract: bool = True
 
 
 def _he_pack(pen, zi, zk):
@@ -171,15 +176,19 @@ def _hcols(H):
     return jnp.arange(H, dtype=jnp.int32)
 
 
+_FLAT_CUR = True  # trace-time value of cfg.flat_extract (see below)
+
+
 def _flat_extract() -> bool:
     """Per-row extracts as FLAT unsigned-u32 gathers instead of dense
     one-hot reduces.  The parallel gather path (PLAN.md round-4) makes a
     16k-element flat gather ~1 us, while each one-hot [B,16]/[B,256]
     masked reduce costs 0.04-0.1 ms and the loop body runs ~15 of them
-    per trip.  Read at trace time so probe sessions can A/B it."""
-    import os
-
-    return os.environ.get("BFC_TPU_FLAT_EXTRACT", "1") == "1"
+    per trip.  Reads the module global ec1dir_batch sets from
+    cfg.flat_extract at the top of every trace: the choice is carried
+    by the config (jit cache key), so two programs can coexist in one
+    process for A/B measurement."""
+    return _FLAT_CUR
 
 
 def _flatget_u32ish(arr, pos):
@@ -436,6 +445,8 @@ def ec1dir_batch(
     Returns (ec_b u8 [B,L], n_absent i32 [B], status i32 [B], max_heap
     i32 [B], overflow bool [B]); status: 0 ok, -1/-2/-3 reference
     failure codes (correct.c:277-280,288,342-347)."""
+    global _FLAT_CUR
+    _FLAT_CUR = cfg.flat_extract  # trace-time: helpers read this
     B, L = seq_b.shape
     H, S = cfg.heap_cap, cfg.stack_cap
     assert S <= 1023, "stack_cap must fit the 10-bit parent field"

@@ -34,6 +34,9 @@ class HostAgg(NamedTuple):
     n_high: np.ndarray      # u32 high-quality occurrences (saturating)
     first_arr: np.ndarray   # u64 arrival of the first occurrence
     first_high: np.ndarray  # u32 is_high of the first occurrence
+    bloom_min: object = None  # BloomMinSketch riding the FINAL aggregate
+                            # only (AggBuilder.finish attaches it);
+                            # always None on spans / through merges
 
 
 def empty_host_agg() -> HostAgg:
@@ -275,6 +278,114 @@ def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
     return hit.reshape(C, H).all(axis=1) & valid
 
 
+class BloomMinSketch:
+    """Incremental per-Bloom-bit minimum-arrival table.
+
+    The adjudicate verdict (count.c:71-87 semantics) for each distinct
+    k-mer only compares its first arrival against the GLOBAL minimum
+    first arrival over every k-mer probing the same Bloom bit - and a
+    global min is associative, so each LSM span can fold its partial
+    minima in as it spills (on the niced spill worker, overlapping the
+    stream) instead of the finalize tail sorting every (bit, arrival)
+    probe key at once.  Exactness argument: a span's first_arr for key
+    x is the min arrival of x WITHIN the span, and min over spans of
+    span-local minima equals x's global first arrival, so the dense
+    array converges to exactly the per-bit minima adjudicate_np's sort
+    computes.
+
+    Arrivals are stored u32: scatter() marks the sketch invalid the
+    moment an arrival exceeds 2^32-1 (full-human single-host streams),
+    and finalize falls back to adjudicate_np - the sketch is a pure
+    accelerator, never load-bearing.  Memory: 4 bytes per Bloom bit
+    (2^bf_shift); allocation is refused above BFC_TPU_INC_ADJ_MAX_SHIFT
+    (default 31 = 8 GiB) and the array is only faulted in as probed."""
+
+    def __init__(self, bf_shift: int, n_hashes: int):
+        self.bf_shift = bf_shift
+        self.n_hashes = n_hashes
+        self.valid = True
+        self.dense = np.full((1 << bf_shift,), 0xFFFFFFFF, np.uint32)
+
+    # identity hash/eq (object default) are correct for register_static:
+    # a HostAgg carrying a sketch can cross a jit boundary (the sketch
+    # becomes a static aux value; device paths strip it first anyway)
+
+    @staticmethod
+    def create(bf_shift: int, n_hashes: int):
+        import os
+
+        if os.environ.get("BFC_TPU_INC_ADJ", "1") != "1":
+            return None
+        max_shift = int(os.environ.get("BFC_TPU_INC_ADJ_MAX_SHIFT", "31"))
+        if bf_shift > max_shift:
+            return None
+        return BloomMinSketch(bf_shift, n_hashes)
+
+    def scatter(self, ret: np.ndarray, first_arr: np.ndarray) -> None:
+        """Fold one span's (ret, first_arr) partial minima in."""
+        if not self.valid or len(ret) == 0:
+            return
+        if int(first_arr.max()) > 0xFFFFFFFF:
+            self.valid = False
+            self.dense = None
+            return
+        bits = bloom_probe_bits_np(ret, self.bf_shift, self.n_hashes)
+        arr32 = first_arr.astype(np.uint32)
+        from ..native.build import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            bits = np.ascontiguousarray(bits)
+            lib.bloom_scatter_min_u32(
+                self.dense.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                arr32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                len(ret), self.n_hashes,
+            )
+        else:
+            np.minimum.at(self.dense, bits.reshape(-1),
+                          np.repeat(arr32, self.n_hashes))
+
+    def verdict(self, ret: np.ndarray, first_arr: np.ndarray,
+                valid: np.ndarray) -> np.ndarray:
+        """Final verdicts from the converged minima (== adjudicate_np)."""
+        assert self.valid
+        C = len(ret)
+        if C == 0:
+            return np.zeros((0,), bool)
+        bits = bloom_probe_bits_np(ret, self.bf_shift, self.n_hashes)
+        arr32 = first_arr.astype(np.uint32)
+        from ..native.build import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            bits = np.ascontiguousarray(bits)
+            out = np.empty((C,), np.uint8)
+            lib.bloom_gather_verdict_u32(
+                self.dense.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                arr32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                C, self.n_hashes,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            )
+            hit = out.astype(bool)
+        else:
+            hit = (self.dense[bits] < arr32[:, None]).all(axis=1)
+        return hit & valid
+
+
+try:  # keep this module importable without jax (pure-numpy consumers)
+    import jax.tree_util as _jtu
+
+    _jtu.register_static(BloomMinSketch)
+except Exception:  # pragma: no cover
+    pass
+
+
 def posk64_np(shard, keybody, l_pre: int, kb_bits: int) -> np.ndarray:
     hi = shard.astype(np.uint64) << np.uint64(64 - l_pre)
     rem = 64 - l_pre - kb_bits
@@ -458,7 +569,14 @@ def finalize_host(agg, bf_shift: int, n_hashes: int, k: int = None,
     first_arr = np.asarray(agg.first_arr)
     first_high = np.asarray(agg.first_high)
     valid = shard != 0xFFFFFFFF
-    fp = adjudicate_np(ret, first_arr, valid, bf_shift, n_hashes).astype(np.uint32)
+    sketch = getattr(agg, "bloom_min", None)
+    if (sketch is not None and sketch.valid
+            and sketch.bf_shift == bf_shift and sketch.n_hashes == n_hashes):
+        # incremental path: the per-bit minima converged span-by-span
+        # during the stream; the verdict is one gather (see BloomMinSketch)
+        fp = sketch.verdict(ret, first_arr, valid).astype(np.uint32)
+    else:
+        fp = adjudicate_np(ret, first_arr, valid, bf_shift, n_hashes).astype(np.uint32)
     m = n - 1 + fp
     high = n_high - (1 - fp) * first_high
     keep = valid & (m >= 1)

@@ -50,3 +50,30 @@ def test_host_vs_device_finalize():
     np.testing.assert_array_equal(np.asarray(t_dev.kb_payload), kbp_h)
     np.testing.assert_array_equal(np.asarray(t_dev.shard), shard_h)
     assert int(ms_dev) == ms_h
+
+
+def test_incremental_sketch_vs_sort_adjudicate(monkeypatch):
+    """The span-incremental BloomMinSketch verdict must equal the
+    one-shot sort adjudicate bit for bit, including under forced LSM
+    spills (many partial-min folds) and u32-overflow fallback."""
+    monkeypatch.setenv("BFC_TPU_MAX_MERGE_CAP", "2048")  # force spills
+    genome = datagen.make_genome(8000, seed=91)
+    reads = datagen.simulate_reads(genome, 2500, read_len=100,
+                                   err_rate=0.02, seed=92)
+    opt = Opts()
+    opt.k = 19
+    opt.bf_shift = 22
+    agg, _ = C.count_stream_aggregate(iter(reads), opt, batch_reads=256)
+    assert agg.bloom_min is not None and agg.bloom_min.valid
+    sk_out = sph.finalize_host(agg, opt.bf_shift, opt.n_hashes)
+    sort_out = sph.finalize_host(agg._replace(bloom_min=None),
+                                 opt.bf_shift, opt.n_hashes)
+    for a, b in zip(sk_out, sort_out):
+        np.testing.assert_array_equal(a, b)
+    # disabled by knob: no sketch is attached at all
+    monkeypatch.setenv("BFC_TPU_INC_ADJ", "0")
+    agg0, _ = C.count_stream_aggregate(iter(reads), opt, batch_reads=256)
+    assert agg0.bloom_min is None
+    off_out = sph.finalize_host(agg0, opt.bf_shift, opt.n_hashes)
+    for a, b in zip(off_out, sort_out):
+        np.testing.assert_array_equal(a, b)
