@@ -46,7 +46,11 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
     fused = os.environ.get("BFC_TPU_FUSED_DIRS", "1") == "1"
     ff_fold = os.environ.get("BFC_TPU_FF_FOLD", "1") == "1"
     ff_paths = os.environ.get("BFC_TPU_FF_PATHS", "1") == "1"
-    flat = os.environ.get("BFC_TPU_FLAT_EXTRACT", "1") == "1"
+    # measured r4g (real v5e, in-process A/B): flat per-row extracts
+    # REGRESS the search loop (9.0 vs 5.05 ms/trip, 12.6k vs 20.1k
+    # reads/s) - each flat gather is a separate serialized kernel while
+    # the one-hot reduces fuse; default stays one-hot
+    flat = os.environ.get("BFC_TPU_FLAT_EXTRACT", "0") == "1"
     return srch.SearchConfig(
         k=opt.k, min_cov=opt.min_cov, win_multi_ec=opt.win_multi_ec,
         max_end_ext=opt.max_end_ext, w_ec=opt.w_ec, w_ec_high=opt.w_ec_high,
@@ -365,16 +369,16 @@ def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def step(entries_local, seq_b, seq_q, lens, mode, sc):
-        t = spec.ShardedCuckoo(entries=entries_local)
+    def step(lo_local, hi_local, seq_b, seq_q, lens, mode, sc):
+        t = spec.ShardedCuckoo(lo=lo_local, hi=hi_local)
         return correct_core(t, cfg, seq_b, seq_q, lens, mode, soft_cap=sc)
 
     sc = jnp.int32(cfg.iter_cap if soft_cap is None else soft_cap)
     return shard_map(
         step, mesh=mesh_ref.mesh,
-        in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P()),
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P(), P()),
         out_specs=P("d"),
-    )(table.entries, seq_b, seq_q, lens, mode, sc)
+    )(table.lo, table.hi, seq_b, seq_q, lens, mode, sc)
 
 
 # ---------------------------------------------------------------------------

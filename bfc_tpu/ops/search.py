@@ -98,11 +98,12 @@ class SearchConfig(NamedTuple):
     # for lanes whose forward pass failed) - pays the per-trip fixed
     # overhead once instead of twice per batch
     fused_dirs: bool = True
-    # per-row extracts as flat u32 gathers (parallel gather path)
-    # instead of dense one-hot reduces; part of the config (and so the
-    # jit cache key) so probe sessions can A/B both compiled programs
-    # in ONE process (see _flat_extract)
-    flat_extract: bool = True
+    # per-row extracts as flat u32 gathers instead of dense one-hot
+    # reduces; part of the config (and so the jit cache key) so probe
+    # sessions can A/B both compiled programs in ONE process (see
+    # _flat_extract).  Default OFF: measured slower on the v5e (r4g -
+    # in-loop u32 gathers serialize when fused with consumers)
+    flat_extract: bool = False
 
 
 def _he_pack(pen, zi, zk):
@@ -787,7 +788,14 @@ def ec1dir_batch(
         act = act & ~lost
         ext = ext & ~lost
         cb_ok = ~c_none & (c_b < 4)
-        os = jnp.where(cb_ok, _rowget(occ, jnp.minimum(c_b, 3)), -1)
+        # occ holds -1 for absent k-mers, violating _rowget's
+        # non-negative contract (its one-hot branch is a max-reduce
+        # that would read -1 as 0, breaking the os==-1 -> 255 quirk
+        # below); bias by +1 around the extract so both branches are
+        # exact (caught by CLI byte-parity at k=19, round 4)
+        os = jnp.where(
+            cb_ok, _rowget(occ + 1, jnp.minimum(c_b, 3)) - 1, -1
+        )
         os_cnt = os & 0xFF          # NB: os==-1 reads as 255 (correct.c:300 quirk)
         fixed = (zi > end) | (
             cb_ok

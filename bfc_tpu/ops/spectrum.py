@@ -319,17 +319,38 @@ class ShardedCuckoo(NamedTuple):
     half the collective traffic of routing raw slot fetches, and the
     per-destination load is hash-uniform by construction.
 
-    Globally `entries` is u64 [n_dev << cb_local]; under shard_map each
-    device sees its block [1 << cb_local].  The global c_bits (as
+    Globally each plane is u32 [n_dev << cb_local]; under shard_map
+    each device sees its block [1 << cb_local].  The global c_bits (as
     carried in SearchConfig.s_bits / DeviceSpectrum.s_bits) is
     log2(n_dev) + cb_local.  Sub-table hash: for position key pk,
     dest = pk >> (64 - log2(n_dev)); s1 = next cb_local bits of pk;
     s2 = s1 ^ (mult_hash(qlow) >> (64 - cb_local)); entry layout is
     CuckooTable's (qlow << 15 | nest << 14 | payload), and
     (dest, slot, nest, qlow) reconstructs the full identity, so matches
-    stay exact."""
+    stay exact.
 
-    entries: jax.Array  # u64, globally [n_dev << cb_local]; locally [Sl]
+    Stored as lo/hi u32 planes for the same reason as CuckooTable: the
+    owner-side probe gathers only engage the TPU's parallel gather path
+    with <= 32-bit operands and unsigned u32 indices (PLAN.md round-4);
+    a u64 entries array serializes at ~15 ns/index PER TRIP of the
+    search loop."""
+
+    lo: jax.Array  # u32, entry bits 0-31; globally [n_dev << cb_local]
+    hi: jax.Array  # u32, entry bits 32-63
+
+
+def sharded_from_u64(entries) -> "ShardedCuckoo":
+    """Split u64 sub-table entries into the lo/hi probe planes
+    (elementwise, so any device sharding of `entries` is preserved)."""
+    if isinstance(entries, np.ndarray):
+        return ShardedCuckoo(
+            lo=(entries & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            hi=(entries >> np.uint64(32)).astype(np.uint32),
+        )
+    return ShardedCuckoo(
+        lo=(entries & U64(0xFFFFFFFF)).astype(U32),
+        hi=(entries >> U64(32)).astype(U32),
+    )
 
 
 def _dest_bits(n_dev: int) -> int:
@@ -360,7 +381,7 @@ def sharded_cuckoo_lookup(table: ShardedCuckoo, q_shard, q_keybody,
     qk = q_keybody.reshape(-1)
     pk = posk64(qs, qk, l_pre, kb_bits)
     db = _dest_bits(n_dev)
-    Sl = table.entries.shape[0]
+    Sl = table.lo.shape[0]
     cb_local = c_bits - db
     assert Sl == 1 << cb_local, (Sl, c_bits, db)
     N = pk.shape[0]
@@ -407,11 +428,16 @@ def sharded_cuckoo_lookup(table: ShardedCuckoo, q_shard, q_keybody,
             (req >> U64(64 - idb)) & U64((1 << nlow) - 1)
             if nlow > 0 else jnp.zeros_like(req)
         )
-    # owner-side probes: both slots are local to this block
-    s1 = ((req >> U64(64 - c_bits)) & U64(Sl - 1)).astype(jnp.int32)
-    alt = ((qlow_r * _CUCKOO_GOLD) >> U64(64 - cb_local)).astype(jnp.int32)
-    e1 = table.entries[s1]
-    e2 = table.entries[s1 ^ alt]
+    # owner-side probes: both slots are local to this block.  The index
+    # chain is cast to UNSIGNED u32 right before the gathers and the
+    # planes are u32, engaging the parallel gather path (PLAN.md
+    # round-4); the u64 entries are recombined AFTER the gather (dense
+    # elementwise work, which is cheap - only gathers care about width).
+    s1 = ((req >> U64(64 - c_bits)) & U64(Sl - 1)).astype(U32)
+    alt = ((qlow_r * _CUCKOO_GOLD) >> U64(64 - cb_local)).astype(U32)
+    s2 = s1 ^ alt
+    e1 = table.lo[s1].astype(U64) | (table.hi[s1].astype(U64) << U64(32))
+    e2 = table.lo[s2].astype(U64) | (table.hi[s2].astype(U64) << U64(32))
 
     def match(e, nest):
         return (

@@ -312,7 +312,10 @@ def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
     )
     if not ok:
         return False
-    ds.table = spec.ShardedCuckoo(entries=gput(entries, mesh, P("d")))
+    planes = spec.sharded_from_u64(entries)  # host split, then shard
+    ds.table = spec.ShardedCuckoo(
+        lo=gput(planes.lo, mesh, P("d")), hi=gput(planes.hi, mesh, P("d")),
+    )
     ds.s_bits = c_bits  # lookups derive slots from the GLOBAL c_bits
     return True
 
@@ -648,7 +651,7 @@ def _finalize_sharded(agg: spec.Aggregate, fp, opt, mesh: Mesh,
                 shard_c, kb_c, pl_c, c_bits, cb_local, l_pre, kb_bits, mref
             )
             if bool(jnp.all(oks)):
-                table = spec.ShardedCuckoo(entries=entries)
+                table = spec.sharded_from_u64(entries)
                 ds = DeviceSpectrum(
                     table, k, l_pre, c_bits, total, hist_np, hh_np, mode,
                     compact=lazy_compact, packed=False,

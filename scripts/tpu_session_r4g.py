@@ -109,7 +109,11 @@ def parse_hlo_fusions(path):
 
 
 def trace_one(tag, fn, tdir):
-    """Profile one call of fn(); return {hlo-op-name: total_us}."""
+    """Profile one call of fn(); return ({hlo-op-name: total_us},
+    {hlo-op-name: metadata-args}) - the event args carry XLA metadata
+    (source lines / long_name) when the backend provides it, which
+    substitutes for an HLO dump on backends where --xla_dump_to lands
+    on the remote compile server."""
     import jax
 
     tr = os.path.join(tdir, f"trace_{tag}")
@@ -117,14 +121,18 @@ def trace_one(tag, fn, tdir):
         fn()
     files = glob.glob(os.path.join(tr, "**", "*.trace.json.gz"), recursive=True)
     if not files:
-        return {}
+        return {}, {}
     ev = json.loads(gzip.open(files[0]).read()).get("traceEvents", [])
     dur: dict = {}
+    meta: dict = {}
     for e in ev:
         if e.get("ph") == "X" and "dur" in e:
             name = e.get("name", "?")[:80]
             dur[name] = dur.get(name, 0) + e["dur"]
-    return dur
+            a = e.get("args")
+            if a and name not in meta:
+                meta[name] = {k: str(v)[:160] for k, v in a.items()}
+    return dur, meta
 
 
 def newest_hlo_dump():
@@ -268,13 +276,24 @@ def main() -> int:
         RESULTS[f"{tag}_ms_per_trip"] = round(slope * 1e3, 2)
         log(f"{tag}: fixed {RESULTS[f'{tag}_sc1_s']}s + "
             f"{slope*1e3:.2f} ms/trip")
-        dur = trace_one(tag, lambda: dispatch(corr, 0, 64), tdir)
+        dur, meta = trace_one(tag, lambda: dispatch(corr, 0, 64), tdir)
         hlo = newest_hlo_dump()
         if hlo and dur:
             log(f"{tag}: HLO dump {os.path.basename(hlo)[:60]} "
                 f"({os.path.getsize(hlo)//1048576} MB)")
             fmap = parse_hlo_fusions(hlo)
             classify_trace(tag, dur, fmap)
+        elif dur:
+            # no local HLO dump (remote compile service): fall back to
+            # trace-event metadata for attribution
+            rows = []
+            for name, us in sorted(dur.items(), key=lambda x: -x[1])[:30]:
+                m = meta.get(name, {})
+                extra = m.get("long_name") or m.get("source") or \
+                    ",".join(f"{k}={v[:60]}" for k, v in list(m.items())[:2])
+                rows.append([name, round(us / 1e3, 2), extra[:160]])
+                log(f"    {us/1e3:9.2f}ms  {name:<24} {extra[:100]}")
+            RESULTS[f"{tag}_trace_rows"] = rows
         save()
 
     # ---- program A: flat extracts (current default)

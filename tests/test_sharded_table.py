@@ -69,7 +69,7 @@ def test_sharded_lookup_matches_local():
 
     def step(entries_local, s, k):
         occ, ovf = spec.sharded_cuckoo_lookup(
-            spec.ShardedCuckoo(entries=entries_local), s, k,
+            spec.sharded_from_u64(entries_local), s, k,
             c_bits, l_pre, kb_bits, "d", n_dev,
         )
         return occ, ovf[None]
@@ -139,7 +139,7 @@ def test_device_build_matches_host_lookups():
 
     def step(entries_local, s, k):
         occ, ovf = spec.sharded_cuckoo_lookup(
-            spec.ShardedCuckoo(entries=entries_local), s, k,
+            spec.sharded_from_u64(entries_local), s, k,
             c_bits, l_pre, kb_bits, "d", n_dev,
         )
         return occ, ovf[None]
@@ -178,7 +178,7 @@ def test_forced_skew_overflows_then_retries():
     def mk(slack):
         def step(entries_local, s, k):
             occ, ovf = spec.sharded_cuckoo_lookup(
-                spec.ShardedCuckoo(entries=entries_local), s, k,
+                spec.sharded_from_u64(entries_local), s, k,
                 c_bits, l_pre, kb_bits, "d", n_dev, slack=slack,
             )
             return occ, ovf[None]
