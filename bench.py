@@ -87,6 +87,43 @@ def main() -> int:
     opt.k = k
     opt.bf_shift = max(20, glen.bit_length() + 7)
 
+    # session gather fingerprint (round-4 finding: the v5e's parallel
+    # random-gather path is present in some sessions and absent in
+    # others - identical programs run 0.7 us vs 2.3 ms per 65536-load
+    # iteration; sessions that had to wait out a lingering tunnel claim
+    # measured slow).  ~2 s; labels the JSON so numbers are comparable.
+    def gather_fingerprint() -> float:
+        import jax
+        import jax.numpy as jnp
+
+        U32, I32 = jnp.uint32, jnp.int32
+        S = 1 << 21
+        tab = jnp.zeros((S,), U32)
+        idx = jnp.asarray((rng.integers(0, S, 65536)).astype(np.uint32))
+
+        @jax.jit
+        def f(tab, idx):
+            def body(c):
+                i, acc = c
+                ix = (idx + i.astype(U32) * U32(2654435761)) & U32(S - 1)
+                return i + I32(1), acc + tab[ix].sum(dtype=U32)
+
+            return jax.lax.while_loop(
+                lambda c: c[0] < I32(64), body, (I32(0), U32(0)))[1]
+
+        jax.block_until_ready(f(tab, idx))
+        t = time.time()
+        for _ in range(4):
+            r = f(tab, idx)
+        jax.block_until_ready(r)
+        return (time.time() - t) / 4 / 64 * 1e6
+
+    fp_us = gather_fingerprint()
+    gather_session = "fast" if fp_us < 50 else "slow"
+    sys.stderr.write(
+        f"[bench] gather fingerprint: {fp_us:.2f} us/iter -> "
+        f"{gather_session} session\n")
+
     # whole batches only: a ragged tail would compile a second batch
     # shape inside the timed region on a cold cache
     n_use = max(n_reads // batch * batch, min(n_reads, batch))
@@ -171,6 +208,8 @@ def main() -> int:
         "correct_s": round(t_corr, 2),
         "count_tail_s": tail,
         "n_reads": n_use,
+        "gather_session": gather_session,
+        "gather_fingerprint_us": round(fp_us, 2),
     }))
     return 0
 

@@ -357,6 +357,33 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     )
 
 
+_AOT_CORE: dict = {}
+
+
+def _core_call(table, cfg, seq_b, seq_q, lens, mode, sc):
+    """correct_core dispatch, optionally through an AOT compile carrying
+    per-compile XLA options (BFC_TPU_COMPILER_OPTIONS="k=v,k=v").  Env
+    XLA_FLAGS never reaches the axon remote-compile service (measured:
+    the service snapshots its own env), but PJRT compiler_options ride
+    the compile request - this is the only way to probe e.g.
+    xla_tpu_scoped_vmem_limit_kib on the real program."""
+    import os
+
+    opts = os.environ.get("BFC_TPU_COMPILER_OPTIONS", "")
+    if not opts:
+        return correct_core(table, cfg, seq_b, seq_q, lens, mode,
+                            soft_cap=sc)
+    key = (cfg, seq_b.shape, opts)
+    compiled = _AOT_CORE.get(key)
+    if compiled is None:
+        kv = dict(p.split("=", 1) for p in opts.split(",") if "=" in p)
+        compiled = correct_core.lower(
+            table, cfg, seq_b, seq_q, lens, mode, soft_cap=sc
+        ).compile(compiler_options=kv)
+        _AOT_CORE[key] = compiled
+    return compiled(table, seq_b, seq_q, lens, mode, soft_cap=sc)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh_ref"))
 def correct_core_sharded(table, cfg: srch.SearchConfig, seq_b, seq_q, lens,
                          mode, mesh_ref, soft_cap=None):
@@ -812,9 +839,9 @@ class Corrector:
                 jnp.int32(self.ds.mode), MeshRef(self.mesh), soft_cap=sc,
             )
         else:
-            out = correct_core(
+            out = _core_call(
                 self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
-                jnp.int32(self.ds.mode), soft_cap=sc,
+                jnp.int32(self.ds.mode), sc,
             )
         # start the device->host transfers now: each np.asarray in
         # finalize is otherwise a separate synchronous round trip over

@@ -264,7 +264,11 @@ def _prewarm_async(opt: Opts, count_fn: str, batch_reads: int):
                 return
             dummy = DeviceSpectrum(
                 spec.CuckooTable(lo=jnp.zeros((1 << c_bits,), jnp.uint32),
-                                 hi=jnp.zeros((1 << c_bits,), jnp.uint32)),
+                                 hi=jnp.zeros((1 << c_bits,), jnp.uint32),
+                                 # pytree structure must match the real
+                                 # table or the prewarm compile is wasted
+                                 pair=(jnp.zeros((2 << c_bits,), jnp.uint32)
+                                       if spec.pair_probe_on() else None)),
                 opt.k, l_pre, c_bits, 0,
                 np.zeros(256, np.int64), np.zeros(64, np.int64), -1,
                 compact=(np.zeros(0, np.uint32), np.zeros(0, np.uint64),

@@ -304,6 +304,13 @@ class CuckooTable(NamedTuple):
 
     lo: jax.Array  # u32 [1 << c_bits]
     hi: jax.Array  # u32 [1 << c_bits]
+    # optional interleaved copy (lo at pair[2s], hi at pair[2s+1]):
+    # each probe becomes ONE slice-2 row gather instead of two
+    # independent gathers - half the gather-op count, and half the
+    # worst-case cost when the serialized per-index lowering is in
+    # effect (the big search program always gets it; PLAN.md round-4).
+    # Built by cuckoo_from_u64 when BFC_TPU_PAIR_PROBE=1.
+    pair: jax.Array = None
 
 
 class ShardedCuckoo(NamedTuple):
@@ -567,15 +574,24 @@ def cuckoo_alt_np(qlow, c_bits: int):
     return h >> np.uint64(32 - c_bits)
 
 
+def pair_probe_on() -> bool:
+    """Interleaved-pair probe layout knob (see CuckooTable.pair)."""
+    import os
+
+    return os.environ.get("BFC_TPU_PAIR_PROBE", "0") == "1"
+
+
 def cuckoo_from_u64(entries) -> CuckooTable:
     """Split a u64 entry array (host build output) into the u32 planes."""
     import numpy as np
 
     e = np.asarray(entries)
-    return CuckooTable(
-        lo=jnp.asarray((e & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        hi=jnp.asarray((e >> np.uint64(32)).astype(np.uint32)),
-    )
+    lo = (e & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (e >> np.uint64(32)).astype(np.uint32)
+    pair = None
+    if pair_probe_on():
+        pair = jnp.asarray(np.stack([lo, hi], axis=1).reshape(-1))
+    return CuckooTable(lo=jnp.asarray(lo), hi=jnp.asarray(hi), pair=pair)
 
 
 def identity_bits(l_pre: int, kb_bits: int) -> int:
@@ -669,10 +685,18 @@ def cuckoo_lookup32(table: CuckooTable, h0, h1, k: int, c_bits: int):
     if c_bits < 32:
         alt = alt >> U32_(32 - c_bits)
     s2 = s1 ^ alt
-    e1l = table.lo[s1]
-    e1h = table.hi[s1]
-    e2l = table.lo[s2]
-    e2h = table.hi[s2]
+    if table.pair is not None:
+        # interleaved layout: each probe is ONE slice-2 row gather
+        tw = table.pair.reshape(1 << c_bits, 2)
+        e1 = tw[s1]
+        e2 = tw[s2]
+        e1l, e1h = e1[..., 0], e1[..., 1]
+        e2l, e2h = e2[..., 0], e2[..., 1]
+    else:
+        e1l = table.lo[s1]
+        e1h = table.hi[s1]
+        e2l = table.lo[s2]
+        e2h = table.hi[s2]
 
     def match(el, eh, nest):
         # entry = qlow << 15 | nest << 14 | payload(14), split lo/hi
