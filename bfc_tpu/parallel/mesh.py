@@ -274,8 +274,14 @@ def sharded_adjudicate(agg: spec.Aggregate, bf_shift: int, n_hashes: int, mesh_r
 
 
 def replicate_table(table, mesh: Mesh):
-    """Replicate the finalized table across the mesh for dp correction."""
-    return type(table)(*[gput(np.asarray(x), mesh, P()) for x in table])
+    """Replicate the finalized table across the mesh for dp correction.
+
+    Optional fields (CuckooTable.pair when the interleaved-probe knob
+    is off) stay None."""
+    return type(table)(*[
+        None if x is None else gput(np.asarray(x), mesh, P())
+        for x in table
+    ])
 
 
 def shard_cuckoo_table(ds, mesh: Mesh) -> bool:
