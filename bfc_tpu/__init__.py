@@ -42,23 +42,22 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: TPU sort/search kernels are expensive to
 # compile (tens of seconds to minutes); cache them across processes.
 #
-# NOT by default on the axon-tunneled TPU backend.  2026-08-17 measured
-# executable deserialization hanging minutes on ~200 KB entries;
-# re-probed 2026-08-19 (scripts/tpu_cache_probe.py): the hang is gone
-# on the current build - a 1 MB radix-pass entry hits in 0.33 s (52x
-# over its 17 s compile) - but a 4.4 MB search-program entry took
-# ~35-40 s to load+run vs its 28 s compile, i.e. parity at best, and
-# the production search entries are 10-20x larger still.  Until big
-# entries load at the small-entry rate, a "hit" can cost more than
-# recompiling; set BFC_TPU_JAX_CACHE=dir to opt in (the cold-start
-# path instead overlaps compiles with the counting stream - see
-# models/device_pipeline._prewarm_async).
+# History: disabled on axon through round 3 (2026-08-17 measured
+# executable deserialization hanging minutes; 2026-08-19 re-probe had
+# big entries at compile parity).  Round-4 measurement (r4o session,
+# 2026-08-20) settles it the other way: the FULL search program -
+# whose fresh compile costs 254-1218 s through the remote compile
+# service - loads from a warm cache in 9.9 s including the first
+# dispatch.  Cold-to-first-corrected-read drops from ~280 s to ~10 s
+# on any host that has run the same configuration before (the cache
+# key covers program HLO + compile options).  Default ON everywhere;
+# BFC_TPU_JAX_CACHE=dir overrides the location, BFC_TPU_JAX_CACHE=""
+# (empty) disables.
 _cache_dir = _os.environ.get(
     "BFC_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax_cache"),
 )
-_on_axon = "axon" in _os.environ.get("JAX_PLATFORMS", "").lower()
-if "BFC_TPU_JAX_CACHE" in _os.environ or not _on_axon:
+if _cache_dir:
     try:
         jax.config.update(
             "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)

@@ -108,6 +108,34 @@ def main() -> int:
     RESULTS["wake_s"] = round(time.time() - t, 1)
     log(f"device awake in {RESULTS['wake_s']}s; cache has {cache_entries()} entries")
 
+    # session gather fingerprint (see CLAUDE.md round-4 lottery)
+    Sf = 1 << 21
+    tabf = jnp.zeros((Sf,), jnp.uint32)
+    idxf = jnp.asarray(np.random.default_rng(5).integers(
+        0, Sf, 65536).astype(np.uint32))
+
+    @jax.jit
+    def _fp(tab, idx):
+        def body(c):
+            i, acc = c
+            ix = (idx + i.astype(jnp.uint32) * jnp.uint32(2654435761)) \
+                & jnp.uint32(Sf - 1)
+            return i + jnp.int32(1), acc + tab[ix].sum(dtype=jnp.uint32)
+
+        return jax.lax.while_loop(lambda c: c[0] < jnp.int32(64), body,
+                                  (jnp.int32(0), jnp.uint32(0)))[1]
+
+    jax.block_until_ready(_fp(tabf, idxf))
+    t = time.time()
+    for _ in range(4):
+        r = _fp(tabf, idxf)
+    jax.block_until_ready(r)
+    fpu = (time.time() - t) / 4 / 64 * 1e6
+    RESULTS["fingerprint_us"] = round(fpu, 2)
+    RESULTS["session"] = "fast" if fpu < 50 else "slow"
+    log(f"fingerprint {fpu:.2f} us/iter -> {RESULTS['session']} session")
+    save()
+
     # ---- phase 1: cold start - restore table, time first dispatch
     t = time.time()
     ds = C.restore_spectrum(DUMP)
