@@ -269,9 +269,12 @@ class AggBuilder:
         # eager threshold: rows above which a run is spilled mid-stream;
         # lowering it moves more pull/merge work off the finish tail and
         # onto the (niced, overlapped) spill worker at the price of more
-        # total host merge work
+        # total host merge work.  Default max_dev_cap//4 (measured r4h,
+        # warm A/B at bench scale: finish tail 5.9 s -> 1.5 s, pass
+        # 13.2 s -> 11.5 s vs spilling only at the device cap)
         eager_min = int(os.environ.get("BFC_TPU_EAGER_MIN",
-                                       str(self.max_dev_cap)))
+                                       str(max(self.max_dev_cap // 4,
+                                               1 << 18))))
         # incremental adjudication: per-Bloom-bit min-arrival folded in
         # span-by-span on the spill worker (spectrum_host.BloomMinSketch)
         # so finalize's verdict is a gather, not a sort of every probe
