@@ -124,6 +124,29 @@ def main() -> int:
         f"[bench] gather fingerprint: {fp_us:.2f} us/iter -> "
         f"{gather_session} session\n")
 
+    # tunnel-pull-bandwidth fingerprint (~2 s): BENCH_r04 showed a
+    # fast GATHER fingerprint alongside a degraded counting stream -
+    # the mover was device->host pull bandwidth (the LSM spill pulls),
+    # which the gather probe does not cover.  Measure one warm ~32 MB
+    # device->host transfer so counting regressions are attributable
+    # across sessions.
+    def pull_fingerprint() -> float:
+        import jax
+        import jax.numpy as jnp
+
+        nbytes = 32 << 20
+        a = jnp.zeros((nbytes // 4,), jnp.uint32) + jnp.uint32(1)
+        jax.block_until_ready(a)
+        _ = np.asarray(a)  # untimed first pull (page faults, setup)
+        t = time.time()
+        for _ in range(2):
+            _ = np.asarray(a)
+        dt = (time.time() - t) / 2
+        return nbytes / dt / 1e6
+
+    pull_mbps = pull_fingerprint()
+    sys.stderr.write(f"[bench] pull fingerprint: {pull_mbps:.0f} MB/s\n")
+
     # whole batches only: a ragged tail would compile a second batch
     # shape inside the timed region on a cold cache
     n_use = max(n_reads // batch * batch, min(n_reads, batch))
@@ -210,6 +233,7 @@ def main() -> int:
         "n_reads": n_use,
         "gather_session": gather_session,
         "gather_fingerprint_us": round(fp_us, 2),
+        "pull_mbps": round(pull_mbps, 1),
     }))
     return 0
 

@@ -53,18 +53,15 @@ jax.config.update("jax_enable_x64", True)
 # key covers program HLO + compile options).  Default ON everywhere;
 # BFC_TPU_JAX_CACHE=dir overrides the location, BFC_TPU_JAX_CACHE=""
 # (empty) disables.
-_cache_dir = _os.environ.get(
-    "BFC_TPU_JAX_CACHE",
-    _os.path.join(_os.path.dirname(__file__), "..", ".cache", "jax_cache"),
-)
-if _cache_dir:
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # older jax without the knobs: harmless
-        pass
+# Scoped by platform: CPU AOT entries are ISA-specific and go into a
+# host-keyed subdirectory (cross-host loads spew SIGILL-hazard feature
+# warnings, MULTICHIP_r04); TPU entries are remote-compiled and
+# host-independent, at the root.  Consumers that switch the platform
+# AFTER import (tests' conftest, cli --cpu) re-apply the scope.
+if _os.environ.get("BFC_TPU_JAX_CACHE", None) != "":
+    from .utils.cache import apply_cache_dir as _apply_cache_dir
+
+    _apply_cache_dir(_os.environ.get("JAX_PLATFORMS", ""))
 
 from .opts import Opts  # noqa: E402,F401
 

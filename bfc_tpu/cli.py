@@ -157,17 +157,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        # CPU compiles deserialize fine; re-enable the persistent cache
-        # that __init__ leaves off under the axon env (see __init__.py)
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.abspath(os.path.join(
-                    os.path.dirname(__file__), "..", ".cache", "jax_cache")),
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        except Exception:
-            pass
+        # re-scope the persistent cache: CPU AOT entries are keyed by
+        # host ISA (see utils/cache.py); __init__ scoped by the env
+        # platform, which was not cpu here
+        from .utils.cache import apply_cache_dir
+
+        apply_cache_dir("cpu")
 
     count_fn = args[0]
     correct_fn = args[1] if len(args) > 1 else None

@@ -373,7 +373,11 @@ def _core_call(table, cfg, seq_b, seq_q, lens, mode, sc):
     if not opts:
         return correct_core(table, cfg, seq_b, seq_q, lens, mode,
                             soft_cap=sc)
-    key = (cfg, seq_b.shape, opts)
+    # the table's pytree structure is part of the compiled signature
+    # (CuckooTable with/without .pair, sharded vs local): omit it and a
+    # mid-process table-type change would invoke a mismatched
+    # executable (ADVICE r4)
+    key = (cfg, seq_b.shape, opts, jax.tree_util.tree_structure(table))
     compiled = _AOT_CORE.get(key)
     if compiled is None:
         kv = dict(p.split("=", 1) for p in opts.split(",") if "=" in p)

@@ -77,6 +77,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.bloom_scatter_imin_u32.restype = None
+        lib.bloom_scatter_imin_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_int,
+        ]
+        lib.bloom_gather_verdict_inv_u32.restype = None
+        lib.bloom_gather_verdict_inv_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         lib.fastx_format.restype = ctypes.c_long
         lib.fastx_format.argtypes = [
             ctypes.c_long,

@@ -301,3 +301,43 @@ void bloom_gather_verdict_u32(const uint32_t *dense, const uint64_t *bits,
         out[i] = ok;
     }
 }
+
+/* Inverted-storage variants: dense holds ~min_arrival with 0 meaning
+ * "no probe yet" (min = UINT32_MAX).  The table can then be allocated
+ * with calloc/np.zeros, whose pages fault in lazily as probed - a
+ * memset-to-0xFF init commits the whole multi-GiB array upfront
+ * (ADVICE r4: 8 GiB at bf_shift=31 on every builder construction). */
+
+void bloom_scatter_imin_u32(uint32_t *dense, const uint64_t *bits,
+                            const uint32_t *arr, long n, int h)
+{
+    long i;
+    int j;
+    for (i = 0; i < n; i++) {
+        uint32_t a = ~arr[i];
+        const uint64_t *b = bits + (size_t)i * (size_t)h;
+        for (j = 0; j < h; j++) {
+            uint32_t *p = dense + b[j];
+            if (*p < a) *p = a;
+        }
+    }
+}
+
+/* out[i] = 1 iff every probed bit's min arrival < arr[i]; with the
+ * inverted storage, min < a  <=>  dense > ~a (unset 0 is never >). */
+void bloom_gather_verdict_inv_u32(const uint32_t *dense,
+                                  const uint64_t *bits,
+                                  const uint32_t *arr, long n, int h,
+                                  unsigned char *out)
+{
+    long i;
+    int j;
+    for (i = 0; i < n; i++) {
+        uint32_t na = ~arr[i];
+        const uint64_t *b = bits + (size_t)i * (size_t)h;
+        unsigned char ok = 1;
+        for (j = 0; j < h; j++)
+            if (dense[b[j]] <= na) { ok = 0; break; }
+        out[i] = ok;
+    }
+}

@@ -177,7 +177,11 @@ def _hcols(H):
     return jnp.arange(H, dtype=jnp.int32)
 
 
-_FLAT_CUR = True  # trace-time value of cfg.flat_extract (see below)
+# trace-time value of cfg.flat_extract, set by ec1dir_batch at the top
+# of every trace.  Initialized to match SearchConfig.flat_extract's
+# default so a helper traced outside ec1dir_batch sees the same path
+# (ADVICE r4).
+_FLAT_CUR = False
 
 
 def _flat_extract() -> bool:

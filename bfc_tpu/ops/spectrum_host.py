@@ -293,18 +293,29 @@ class BloomMinSketch:
     array converges to exactly the per-bit minima adjudicate_np's sort
     computes.
 
-    Arrivals are stored u32: scatter() marks the sketch invalid the
+    Arrivals are stored u32 INVERTED (dense = ~min_arrival, 0 = never
+    probed): np.zeros allocates through calloc, so pages fault in
+    lazily as probed - a 0xFF-filled init would commit the whole array
+    (up to 8 GiB at the default max shift) on every AggBuilder
+    construction (ADVICE r4).  scatter() marks the sketch invalid the
     moment an arrival exceeds 2^32-1 (full-human single-host streams),
     and finalize falls back to adjudicate_np - the sketch is a pure
-    accelerator, never load-bearing.  Memory: 4 bytes per Bloom bit
-    (2^bf_shift); allocation is refused above BFC_TPU_INC_ADJ_MAX_SHIFT
-    (default 31 = 8 GiB) and the array is only faulted in as probed."""
+    accelerator, never load-bearing.
+
+    Exactness of the span folding additionally relies on arrivals being
+    MONOTONE non-decreasing across spans (spans are contiguous stream
+    slices pushed oldest-first; arrival counters never reset), so once
+    any span overflows u32, no earlier span could have: the u32 check
+    per span is therefore a global check.  A span carrying a
+    0xFFFFFFFFFFFFFFFF padding sentinel trips the same guard; the
+    invalidation is logged so the resulting finalize-sort slowdown is
+    attributable."""
 
     def __init__(self, bf_shift: int, n_hashes: int):
         self.bf_shift = bf_shift
         self.n_hashes = n_hashes
         self.valid = True
-        self.dense = np.full((1 << bf_shift,), 0xFFFFFFFF, np.uint32)
+        self.dense = np.zeros((1 << bf_shift,), np.uint32)
 
     # identity hash/eq (object default) are correct for register_static:
     # a HostAgg carrying a sketch can cross a jit boundary (the sketch
@@ -326,6 +337,11 @@ class BloomMinSketch:
         if not self.valid or len(ret) == 0:
             return
         if int(first_arr.max()) > 0xFFFFFFFF:
+            from ..utils.log import log
+
+            log("arrival exceeds u32: incremental adjudication sketch "
+                "disabled (finalize falls back to the probe sort)",
+                func="BloomMinSketch")
             self.valid = False
             self.dense = None
             return
@@ -338,15 +354,15 @@ class BloomMinSketch:
             import ctypes
 
             bits = np.ascontiguousarray(bits)
-            lib.bloom_scatter_min_u32(
+            lib.bloom_scatter_imin_u32(
                 self.dense.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                 bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 arr32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                 len(ret), self.n_hashes,
             )
         else:
-            np.minimum.at(self.dense, bits.reshape(-1),
-                          np.repeat(arr32, self.n_hashes))
+            np.maximum.at(self.dense, bits.reshape(-1),
+                          np.repeat(~arr32, self.n_hashes))
 
     def verdict(self, ret: np.ndarray, first_arr: np.ndarray,
                 valid: np.ndarray) -> np.ndarray:
@@ -365,7 +381,7 @@ class BloomMinSketch:
 
             bits = np.ascontiguousarray(bits)
             out = np.empty((C,), np.uint8)
-            lib.bloom_gather_verdict_u32(
+            lib.bloom_gather_verdict_inv_u32(
                 self.dense.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                 bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 arr32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -374,7 +390,8 @@ class BloomMinSketch:
             )
             hit = out.astype(bool)
         else:
-            hit = (self.dense[bits] < arr32[:, None]).all(axis=1)
+            # inverted storage: min < a  <=>  dense > ~a (0 = unset)
+            hit = (self.dense[bits] > (~arr32)[:, None]).all(axis=1)
         return hit & valid
 
 

@@ -18,3 +18,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# re-scope the persistent compile cache for the CPU backend (host-ISA
+# keyed subdir; bfc_tpu/utils/cache.py) - the package scoped it by the
+# env platform, which the line above just overrode
+import bfc_tpu  # noqa: E402,F401
+from bfc_tpu.utils.cache import apply_cache_dir  # noqa: E402
+
+apply_cache_dir("cpu")
