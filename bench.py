@@ -134,13 +134,15 @@ def main() -> int:
         import jax
         import jax.numpy as jnp
 
+        # NB: a jax array caches its host copy after the first transfer,
+        # so each timed pull must be of a FRESH device array
         nbytes = 32 << 20
-        a = jnp.zeros((nbytes // 4,), jnp.uint32) + jnp.uint32(1)
-        jax.block_until_ready(a)
-        _ = np.asarray(a)  # untimed first pull (page faults, setup)
+        a = jnp.zeros((nbytes // 4,), jnp.uint32)
+        aa = [jax.block_until_ready(a + jnp.uint32(i)) for i in range(3)]
+        _ = np.asarray(aa[0])  # untimed first pull (page faults, setup)
         t = time.time()
-        for _ in range(2):
-            _ = np.asarray(a)
+        for x in aa[1:]:
+            _ = np.asarray(x)
         dt = (time.time() - t) / 2
         return nbytes / dt / 1e6
 

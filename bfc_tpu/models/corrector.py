@@ -63,9 +63,9 @@ def make_config(opt: Opts, ds: DeviceSpectrum, stack_cap: int = 1000,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "save_state"))
 def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
-                 soft_cap=None):
+                 soft_cap=None, save_state: bool = False):
     """Device correction of one batch.
 
     seq_b: u8 [B,L] converted bases (refine substitution already applied
@@ -262,31 +262,36 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
             tuple(cat(a, b) for a, b in zip(win_f, win_r))
             if win_f is not None else None
         )
-        ecC, naC, rvC, mhC, ovC, itC, rvfC = srch.ec1dir_batch(
+        res = srch.ec1dir_batch(
             table, cfg, cat(seq_fix, seq_r), cat(seq_q, q_r),
             cat(seq_q, q_r), cat(lcov, lcov_r), cat(hcov, hcov_r),
             cat(lens, lens), cat(start, start_r),
             cat(searchable, searchable), win_bits=win_cat,
-            soft_cap=soft_cap,
+            soft_cap=soft_cap, save_state=save_state,
         )
+        ecC, naC, rvC, mhC, ovC, rsC, itC, rvfC = res[:8]
+        bundle = res[8] if save_state else None
         ec0, ec1r = ecC[:B], ecC[B:]
         na0, na1 = naC[:B], naC[B:]
         rv0, rv1 = rvC[:B], rvC[B:]
         mh0, mh1 = mhC[:B], mhC[B:]
         ov0, ov1 = ovC[:B], ovC[B:]
+        rs0l, rs1l = rsC[:B], rsC[B:]
         it0 = it1 = itC
         s_rovf = rvfC
     else:
         # ---- forward direction over [start, n)
-        ec0, na0, rv0, mh0, ov0, it0, rovf0 = srch.ec1dir_batch(
+        assert not save_state, "state-resume requires fused_dirs"
+        ec0, na0, rv0, mh0, ov0, rs0l, it0, rovf0 = srch.ec1dir_batch(
             table, cfg, seq_fix, seq_q, seq_q, lcov, hcov, lens, start,
             searchable, win_bits=win_f, soft_cap=soft_cap,
         )
         ok0_ = searchable & (rv0 >= 0) & ~ov0
-        ec1r, na1, rv1, mh1, ov1, it1, rovf1 = srch.ec1dir_batch(
+        ec1r, na1, rv1, mh1, ov1, rs1l, it1, rovf1 = srch.ec1dir_batch(
             table, cfg, seq_r, q_r, q_r, lcov_r, hcov_r, lens, start_r,
             ok0_, win_bits=win_r, soft_cap=soft_cap,
         )
+        bundle = None
         s_rovf = rovf0 | rovf1
     ok0 = searchable & (rv0 >= 0) & ~ov0
     # direction-2 results for ~ok0 lanes are discarded here: ok1 gates
@@ -345,7 +350,24 @@ def correct_core(table, cfg: srch.SearchConfig, seq_b, seq_q, lens, mode,
     # with doubled slack (compiled once per slack) before any per-read
     # scalar fallback (count.c:42-52 insbuf retry ethos)
     route_ovf = kovf | g_ovf | s_rovf
+    extra = {}
+    if save_state:
+        # state-resume classification: an overflowed read is resumable
+        # iff every overflow that CONTRIBUTED to it is an iteration-cap
+        # overflow (clean trip boundary).  A rev-direction overflow only
+        # contributes when the forward pass succeeded (ok0), matching
+        # the overflow definition above; kcov/greedy/pool overflows are
+        # never resumable.
+        bad = (ov0 & ~rs0l) | (ov1 & ok0 & ~rs1l)
+        extra["resum"] = overflow & ~bad & ~(kovf | g_ovf | pool_miss)
+        st_s, pl_s, alive_s, nohave_s = bundle
+        extra["bundle"] = dict(
+            st=st_s, pl=pl_s, alive=alive_s, nohave=nohave_s,
+            start2=jnp.concatenate([start, start_r], axis=0),
+            ob=ob, brute_in=greedy_ok, lens=lens,
+        )
     return dict(
+        **extra,
         packed_bq=packed_bq,
         ec_code=ec_code, brute=greedy_ok.astype(I32),
         n_ec=n_ec.astype(I32), n_ec_high=n_ec_high.astype(I32),
@@ -438,6 +460,9 @@ class BatchResult:
     text_of: object
     exceptional: dict
     requeue: list = dataclasses.field(default_factory=list)
+    # soft-pass reads whose ONLY overflow was the iteration cap: they
+    # resume from saved state (models/resume.py) instead of re-running
+    requeue_resume: list = dataclasses.field(default_factory=list)
     # multi-host: only rank 0 assembles/emits output text; other ranks
     # carry control-flow results only (requeue, overflow, codes) and
     # dummy row matrices - never read their text fields
@@ -525,6 +550,19 @@ class Corrector:
             self.cfg._replace(stack_cap=soft_stack)
             if 0 < soft_stack < stack_cap else self.cfg
         )
+        # state-resume straggler scheduling (models/resume.py): the soft
+        # pass saves its search state and iteration-capped reads resume
+        # from the saved trip boundary instead of re-running the whole
+        # search at full caps.  Single-host, local-table, fused-dirs
+        # only; every other configuration keeps the re-batch path.
+        self._resume = (
+            os.environ.get("BFC_TPU_RESUME", "1") == "1"
+            and self._soft_cap > 0
+            and self.cfg.fused_dirs
+            and mesh is None
+            and not isinstance(ds.table, spec.ShardedCuckoo)
+            and not os.environ.get("BFC_TPU_COMPILER_OPTIONS", "")
+        )
 
     def prewarm(self, batch_reads: int, read_len: int = 100) -> None:
         """Compile the hot device programs for a production stream.
@@ -562,6 +600,16 @@ class Corrector:
                 soft=soft, min_b=n, prewarm=True,
             )
             self.finalize_batch_arrays(ctx)
+            if soft and ctx.get("bundle") is not None:
+                # compile the absorb + resume programs too (the resume
+                # pool shapes are fixed per batch size); the absorbed
+                # read's saved state is done, so the dispatch is cheap
+                from . import resume as RES
+
+                rp = RES.ResumePool(max(n // 8, 256))
+                rp.absorb(self, ctx["bundle"], [0], [0])
+                for r_out, _w in rp.flush_all(self):
+                    jax.block_until_ready(r_out["packed_bq"])
 
         th = [
             threading.Thread(
@@ -650,6 +698,50 @@ class Corrector:
         win: Optional[WindowResult] = None
         results: List = [None] * n
         stragglers: List[int] = []  # window indices re-batched at full caps
+        import os as _os2
+
+        rp = None  # straggler resume pool (models/resume.py), lazy
+        rp_P = int(_os2.environ.get("BFC_TPU_RESUME_POOL", "0")) or max(
+            batch_reads // 8, 256
+        )
+
+        def land_flush(fr):
+            """Land one resume dispatch: scatter occupied rows into win,
+            route its own overflows (scalar / full re-batch)."""
+            nonlocal win
+            r_out, wids = fr
+            occ = wids >= 0
+            P = len(wids)
+            lens_p = np.zeros((P,), np.int32)
+            lens_p[occ] = np.asarray(lens0)[wids[occ]]
+            hq_p = np.zeros((P,), bool)
+            hq_p[occ] = np.asarray(has_q)[wids[occ]]
+            ctx2 = dict(
+                out=r_out, n=P, lens=lens_p, has_q=hq_p,
+                text_of=lambda j: text_of(int(wids[j])),
+                soft=False, resume=True,
+            )
+            br2 = self.finalize_batch_arrays(ctx2)
+            rows = np.nonzero(occ)[0]
+            sel2 = wids[rows]
+            Lb = br2.seq_rows.shape[1]
+            if Lb > win.seq_rows.shape[1]:  # sticky pad grew
+                ns = np.zeros((n, Lb), np.uint8)
+                nq = np.zeros((n, Lb), np.uint8)
+                ns[:, : win.seq_rows.shape[1]] = win.seq_rows
+                nq[:, : win.qual_rows.shape[1]] = win.qual_rows
+                win.seq_rows, win.qual_rows = ns, nq
+            win.seq_rows[sel2, :Lb] = br2.seq_rows[rows]
+            win.qual_rows[sel2, :Lb] = br2.qual_rows[rows]
+            win.aux[sel2] = br2.aux[rows]
+            win.aux2[sel2] = br2.aux2[rows]
+            win.code[sel2] = br2.code[rows]
+            for i, t in br2.exceptional.items():
+                if occ[i]:
+                    win.exceptional[int(wids[i])] = t
+            for i in br2.requeue:
+                if occ[i]:
+                    stragglers.append(int(wids[i]))
 
         def land(ctx, sel):
             nonlocal win, as_arrays
@@ -685,12 +777,24 @@ class Corrector:
                         win.exceptional[int(sel[i])] = t
                     for i in br.requeue:
                         stragglers.append(int(sel[i]))
+                    if br.requeue_resume:
+                        nonlocal rp
+                        from . import resume as RES
+
+                        if rp is None:
+                            rp = RES.ResumePool(rp_P)
+                        for fr in rp.absorb(
+                            self, ctx["bundle"], br.requeue_resume,
+                            [int(sel[i]) for i in br.requeue_resume],
+                        ):
+                            land_flush(fr)
                     if ctx.get("soft"):
                         # raise the cap when stragglers exceed ~10%; never
                         # decay - batches arrive easy-to-hard (difficulty
                         # bucketing), so a cap that was enough for an easy
                         # batch underestimates the next one
-                        frac = len(br.requeue) / max(br.n, 1)
+                        frac = (len(br.requeue) + len(br.requeue_resume)
+                                ) / max(br.n, 1)
                         if frac > 0.10:
                             self._soft_cap = min(
                                 self._soft_cap * 2, self.cfg.iter_cap
@@ -700,6 +804,14 @@ class Corrector:
                 # whole window to per-read tuples
                 as_arrays = False
                 if win is not None:
+                    if rp is not None:  # pooled resumes: exact scalar path
+                        for j in list(rp.wids):
+                            ch = self._fallback_table()
+                            s_in, q_in = text_of(j)
+                            win.exceptional[j] = M.ec1(
+                                self.opt, ch, self.ds.mode, s_in, q_in
+                            )
+                        rp.pool, rp.wids = None, []
                     for j in stragglers:  # no re-batch stage in tuple mode
                         ch = self._fallback_table()
                         s_in, q_in = text_of(j)
@@ -748,10 +860,19 @@ class Corrector:
 
             log(f"final land {_t.time()-t1:.3f}s stragglers={len(stragglers)}",
                 func="correct_many")
-        # straggler pass: reads that hit the soft iteration cap re-run
-        # once at full caps (byte-identical per-read search; only batch
-        # composition changes).  Chunked at batch_reads//4 so stragglers
-        # add exactly one device shape (compiled once per process)
+        # drain the resume pool: every batch has landed, so every
+        # resumable straggler is pooled; their continuations finish (or
+        # route to the full-cap re-batch / scalar paths) before the
+        # re-batch stage below runs
+        if as_arrays and rp is not None:
+            for fr in rp.flush_all(self):
+                land_flush(fr)
+        # straggler pass: reads that overflowed a NON-resumable capacity
+        # (stack/penalty/heap, or a resume that outgrew the soft stack)
+        # re-run once at full caps (byte-identical per-read search; only
+        # batch composition changes).  Chunked at batch_reads//4 so
+        # stragglers add exactly one device shape (compiled once per
+        # process)
         s_chunk = max(batch_reads // 4, 256)
         while as_arrays and stragglers:
             todo, stragglers = stragglers, []
@@ -830,6 +951,7 @@ class Corrector:
             j_qflag = jnp.asarray(qflag)
             j_lens = jnp.asarray(lens)
         soft = soft and self._soft_cap > 0
+        use_resume = soft and self._resume and jax.process_count() == 1
         use_cfg = self.cfg_main if soft else self.cfg
         if self._route_slack != use_cfg.route_slack:
             use_cfg = use_cfg._replace(route_slack=self._route_slack)
@@ -842,11 +964,17 @@ class Corrector:
                 self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
                 jnp.int32(self.ds.mode), MeshRef(self.mesh), soft_cap=sc,
             )
+        elif use_resume:
+            out = correct_core(
+                self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
+                jnp.int32(self.ds.mode), soft_cap=sc, save_state=True,
+            )
         else:
             out = _core_call(
                 self.ds.table, use_cfg, j_bases, j_qflag, j_lens,
                 jnp.int32(self.ds.mode), sc,
             )
+        bundle = out.pop("bundle", None)  # device-resident; never pulled
         # start the device->host transfers now: each np.asarray in
         # finalize is otherwise a separate synchronous round trip over
         # the axon tunnel (~30ms each, ~0.45s/batch); issued here they
@@ -857,7 +985,8 @@ class Corrector:
             except Exception:
                 break
         return dict(out=out, n=n, lens=lens, has_q=has_q, text_of=text_of,
-                    soft=soft, slack=self._route_slack, prewarm=prewarm,
+                    soft=soft, bundle=bundle,
+                    slack=self._route_slack, prewarm=prewarm,
                     redispatch=lambda: self.dispatch_arrays(
                         bases0, rawq0, lens0, has_q, text_of,
                         soft=soft, min_b=min_b, prewarm=prewarm))
@@ -975,6 +1104,8 @@ class Corrector:
             aux2 = np.zeros((n,), U)
         exceptional = {}
         requeue: List[int] = []
+        requeue_resume: List[int] = []
+        resum_arr = out["resum"][:n] if "resum" in out else None
         ovf = out["overflow"][:n]
         n_ovf = int(ovf.sum())
         if n_ovf and os.environ.get("BFC_TPU_TIMING"):
@@ -986,11 +1117,27 @@ class Corrector:
             ovf = np.zeros_like(ovf)  # warm-up results are discarded
         for i in np.nonzero(ovf)[0]:
             if ctx.get("soft"):
-                # soft-capped first pass: re-batch at full caps (device),
-                # not the scalar fallback - see correct_many.  Requeue is
-                # CONTROL FLOW (it shapes later device batches) and runs
-                # on every host; the scalar fallback below is output-only
-                # and runs on the emitting rank alone
+                # soft-capped first pass: resumable (iteration-cap-only)
+                # reads continue from saved state; every other overflow
+                # kind re-batches at full caps (device), not the scalar
+                # fallback - see correct_many.  Requeue is CONTROL FLOW
+                # (it shapes later device batches) and runs on every
+                # host; the scalar fallback below is output-only and
+                # runs on the emitting rank alone
+                if resum_arr is not None and bool(resum_arr[i]) \
+                        and ctx.get("bundle") is not None:
+                    requeue_resume.append(int(i))
+                else:
+                    requeue.append(int(i))
+                continue
+            if ctx.get("resume") and not (
+                resum_arr is not None and bool(resum_arr[i])
+            ):
+                # non-resumable overflow DURING a resume (soft stack or
+                # penalty cap): re-batch at full caps like the soft pass
+                # would have (byte-identical; only batch composition
+                # changes).  Iteration-capped-again reads fall through
+                # to the exact scalar fallback below.
                 requeue.append(int(i))
                 continue
             if not emit:
@@ -1004,6 +1151,7 @@ class Corrector:
             aux=aux, aux2=aux2, code=code,
             has_q=np.asarray(quals_present)[:n],
             text_of=text_of, exceptional=exceptional, requeue=requeue,
+            requeue_resume=requeue_resume,
             emit=emit,
         )
 
@@ -1012,7 +1160,8 @@ class Corrector:
         if "direct" in ctx:
             return ctx["direct"]
         br = self.finalize_batch_arrays(ctx)
-        for i in br.requeue:  # tuple consumers have no re-batch stage
+        # tuple consumers have no re-batch or resume stage
+        for i in br.requeue + br.requeue_resume:
             ch = self._fallback_table()
             s_in, q_in = br.text_of(i)
             br.exceptional[i] = M.ec1(self.opt, ch, self.ds.mode, s_in, q_in)

@@ -151,11 +151,25 @@ class State(NamedTuple):
     rv: jax.Array            # i32 [B]
     done: jax.Array          # bool [B]
     overflow: jax.Array      # bool [B]
+    resum: jax.Array         # bool [B]: overflowed ONLY on the iteration
+                             # cap - the state is at a clean trip boundary
+                             # and the search can be resumed from it
+                             # (state-resume straggler scheduling)
     max_heap: jax.Array      # i32 [B]
     it: jax.Array            # i32 scalar
     rovf: jax.Array          # bool scalar: a routing bucket overflowed
                              # (results unusable; driver retries with
                              # doubled slack before any scalar fallback)
+
+
+class SearchPlanes(NamedTuple):
+    """Per-position planes the lockstep loop body reads (and nothing
+    else): saved alongside a State to make the search resumable."""
+
+    cand_pk: jax.Array  # i32 [B,L]: base|q<<3|oq<<4|lcov<<5|hcov<<11
+    cum_pk: jax.Array   # i32 [B,L]: pencum|abscum<<13|ffrun<<22|valid<<28
+    x0w_p: jax.Array    # PT [B,L] forward k-mer planes (pool dtype)
+    x1w_p: jax.Array
 
 
 def _pvary_all(xs, axis_name: str):
@@ -418,7 +432,7 @@ def _occ_of(table, cfg: SearchConfig, x0, x1, x2, x3, valid=None):
                              cfg.kb_bits), no_ovf
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "debug"))
+@functools.partial(jax.jit, static_argnames=("cfg", "debug", "save_state"))
 def ec1dir_batch(
     table,
     cfg: SearchConfig,
@@ -436,6 +450,7 @@ def ec1dir_batch(
                     # full caps - exact same per-read search).  TRACED, so
                     # the driver adapts it per batch without recompiling.
     debug: bool = False,
+    save_state: bool = False,
 ):
     """One direction of the batched best-first search.
 
@@ -515,6 +530,7 @@ def ec1dir_batch(
         rv=jnp.full((B,), -1, I32),
         done=~active,
         overflow=jnp.zeros((B,), bool),
+        resum=jnp.zeros((B,), bool),
         max_heap=jnp.zeros((B,), I32),
         it=jnp.zeros((), I32),
         rovf=jnp.zeros((), bool),
@@ -601,6 +617,52 @@ def ec1dir_batch(
         | (wvalid.astype(I32) << 28)
     )
 
+
+    # packed per-position candidate plane: base(3) | q(1)<<3 | oq(1)<<4 |
+    # lcov(6)<<5 | hcov(6)<<11 - the body's five per-position extracts
+    # share one one-hot mask, so one masked reduce replaces five
+    # (coverages are <= k <= 63, so 6 bits each)
+    cand_pk = (
+        seq_b.astype(I32)
+        | (seq_q.astype(I32) << 3)
+        | (seq_oq.astype(I32) << 4)
+        | (jnp.minimum(lcov, 63) << 5)
+        | (jnp.minimum(hcov, 63) << 11)
+    )
+
+    pl = SearchPlanes(cand_pk=cand_pk, cum_pk=cum_pk,
+                      x0w_p=x0w_p, x1w_p=x1w_p)
+    st = _search_loop(table, cfg, st, pl, lens, iter_cap)
+    nohave = active_in & ~have
+    out = _search_backtrack(cfg, st, pl, lens, start, active, nohave)
+    if save_state:
+        # resume bundle: the post-loop state plus every plane the loop
+        # body reads, so iteration-capped lanes can be continued from
+        # the saved trip boundary without re-running the prefix
+        return out + ((st, pl, active, nohave),)
+    if debug:
+        return out + (st,)
+    return out
+
+
+def _search_loop(table, cfg: SearchConfig, st: State, pl: 'SearchPlanes',
+                 lens, iter_cap):
+    """The lockstep while loop, from any trip boundary (a fresh init
+    or a saved straggler state).  Shared by ec1dir_batch and the
+    state-resume path (models/resume.py); byte-exact either way."""
+    cand_pk, cum_pk, x0w_p, x1w_p = pl
+    B, L = cand_pk.shape
+    S = st.st_meta.shape[1]
+    H = H_SLICE + st.hpr.shape[1]
+    k = cfg.k
+    # the scalar-type constructor, not the numpy dtype object
+    PT = jnp.uint32 if x0w_p.dtype == jnp.uint32 else U64
+    kmask = PT((1 << k) - 1)
+    end = lens
+    FF_STEP = cfg.ff_step
+    FF_FOLD = cfg.ff_fold and FF_STEP > 0
+    FF_PATHS = cfg.ff_paths
+
     def ff_prestep(st: State) -> State:
         # ---- fast-forward pre-step (exact: heap of one, clean window)
         root = st.hp16[:, 0]
@@ -663,18 +725,6 @@ def ec1dir_batch(
         return st._replace(
             hp16=jnp.concatenate([col0[:, None], st.hp16[:, 1:]], axis=1)
         )
-
-    # packed per-position candidate plane: base(3) | q(1)<<3 | oq(1)<<4 |
-    # lcov(6)<<5 | hcov(6)<<11 - the body's five per-position extracts
-    # share one one-hot mask, so one masked reduce replaces five
-    # (coverages are <= k <= 63, so 6 bits each)
-    cand_pk = (
-        seq_b.astype(I32)
-        | (seq_q.astype(I32) << 3)
-        | (seq_oq.astype(I32) << 4)
-        | (jnp.minimum(lcov, 63) << 5)
-        | (jnp.minimum(hcov, 63) << 11)
-    )
 
     def body(st: State) -> State:
         if FF_STEP > 0 and not FF_FOLD:
@@ -971,8 +1021,12 @@ def ec1dir_batch(
         full = st.n_paths >= 4
         st = st._replace(done=st.done | (stop & full), it=st.it + 1)
         iter_over = (st.it >= iter_cap) & ~st.done
+        # an iteration-cap overflow leaves the state at a clean trip
+        # boundary: mark the lane resumable (every other overflow kind
+        # set done earlier and is excluded by ~st.done here)
         st = st._replace(
-            overflow=st.overflow | iter_over, done=st.done | iter_over
+            overflow=st.overflow | iter_over, done=st.done | iter_over,
+            resum=st.resum | iter_over,
         )
         return st
 
@@ -997,10 +1051,26 @@ def ec1dir_batch(
         )
     else:
         st = jax.lax.while_loop(lambda s: ~jnp.all(s.done), body, st)
+    return st
 
+
+def _search_backtrack(cfg: SearchConfig, st: State, pl: 'SearchPlanes',
+                      lens, start, alive, nohave):
+    """Backtrack + status assembly from a finished search state.
+
+    alive = lanes that participated and had a valid initial window;
+    nohave = lanes that participated but had none (status -2).  The
+    direction-local sequence is recovered from cand_pk bits [2:0]
+    (exact: base codes are <= 4)."""
+    cand_pk, cum_pk = pl.cand_pk, pl.cum_pk
+    B, L = cand_pk.shape
+    k = cfg.k
+    end = lens
+    idx = jnp.arange(L, dtype=jnp.int32)
+    active = alive
     # ---- backtrack the best stopped path (correct.c:232-247,374-379)
     success = active & (st.n_paths > 0) & ~st.overflow
-    ec_b = seq_b.astype(I32)
+    ec_b = cand_pk & 7
     n_absent = jnp.zeros((B,), I32)
     cur = jnp.where(success, st.min_path_k, -1)
 
@@ -1039,16 +1109,15 @@ def ec1dir_batch(
         4, ec_b,
     )
     status = jnp.where(success, 0, st.rv)
-    status = jnp.where(active & ~have, -2, status)
+    status = jnp.where(nohave, -2, status)
     out = (
         ec_b.astype(jnp.uint8),
         n_absent,
         status,
         st.max_heap,
         st.overflow & active,
+        st.resum & active,  # resumable (iteration-cap-only)
         st.it,  # lockstep trip count (batch scheduling diagnostics)
         st.rovf,  # routing-bucket overflow (driver retries with 2x slack)
     )
-    if debug:
-        return out + (st,)
     return out

@@ -268,6 +268,53 @@ def packed_run_to_host_agg(planes_np: List[np.ndarray], count: int, k: int,
     )
 
 
+def derive_ret_device(shard, keybody, k: int, l_pre: int):
+    """Device twin of derive_ret_np (jnp; see below for the math)."""
+    mask = U64((1 << k) - 1)
+    shard = shard.astype(U64)
+    if k <= 32:
+        t = 2 * k - l_pre
+        z = (shard << U64(t)) | keybody
+        h0 = z >> U64(k)
+        h1 = z & mask
+    else:
+        t = k - l_pre
+        assert ret_derivable(k, l_pre)
+        h0 = (shard << U64(t)) | (keybody >> U64(k))
+        h1 = keybody & U64((1 << k) - 1)
+    w0 = (h0 - h1) & mask
+    return ((w0 ^ h1) << U64(k)) | h0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "l_pre"))
+def run_to_aggregate(planes, k: int, l_pre: int):
+    """Device run planes -> spec.Aggregate, entirely on device (the
+    no-spill counting fast path: the aggregate never crosses the
+    tunnel; finalize runs on device too).  Padding rows keep shard ==
+    INVALID_SHARD, the Aggregate validity convention."""
+    from . import spectrum as spec
+
+    kb_bits = kops.keybody_bits(k, l_pre)
+    n_id, _, carry = run_layout(k, l_pre)
+    shard = planes[0]
+    if n_kb_planes(kb_bits) == 2:
+        keybody = _join_u64(planes[1], planes[2])
+    else:
+        keybody = planes[1].astype(U64)
+    a_hi, a_lo = planes[n_id], planes[n_id + 1]
+    n, nhfh = planes[n_id + 2], planes[n_id + 3]
+    first_arr = _join_u64(a_hi, a_lo)
+    if carry:
+        ret = _join_u64(planes[n_id + 4], planes[n_id + 5])
+    else:
+        ret = derive_ret_device(shard, keybody, k, l_pre)
+    return spec.Aggregate(
+        shard=shard, keybody=keybody, ret=ret,
+        n=n, n_high=nhfh & U32(0x7FFFFFFF), first_arr=first_arr,
+        first_high=(nhfh >> U32(31)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host conversion
 # ---------------------------------------------------------------------------
