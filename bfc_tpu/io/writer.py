@@ -48,6 +48,10 @@ class OutputWriter:
         assert self.sink is None, "streaming writer has no accumulated value"
         return b"".join(self._parts).decode("ascii")
 
+    def getbytes(self) -> bytes:
+        assert self.sink is None, "streaming writer has no accumulated value"
+        return b"".join(self._parts)
+
     def flush(self) -> None:
         if self.sink is not None and hasattr(self.sink, "flush"):
             self.sink.flush()

@@ -1021,14 +1021,16 @@ class Corrector:
         if jax.process_count() > 1:
             # multi-host: batch rows are sharded across processes.  The
             # device-level allgather (to_host) must run identically on
-            # every host - it is a collective - but only rank 0
-            # ASSEMBLES output text; other ranks keep just the
-            # control-flow results (requeue/overflow/codes), so host
-            # work does not scale with host count (SURVEY §5.8)
+            # every host - it is a collective.  EVERY host assembles the
+            # full row matrices (vectorized numpy, cheap); the expensive
+            # per-record TEXT formatting is split by host downstream
+            # (device_pipeline emits a contiguous window slice per host
+            # and rank 0 stitches the byte segments - the reference's
+            # ordered single-writer, kthread.c:92-101, with the
+            # formatting fanned out)
             from ..parallel.mesh import to_host
 
             out = {k: to_host(v) for k, v in ctx["out"].items()}
-            emit = jax.process_index() == 0
         else:
             out = {k: np.asarray(v) for k, v in ctx["out"].items()}
         if bool(np.asarray(out["route_ovf"]).any()) and "redispatch" in ctx:

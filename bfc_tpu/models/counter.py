@@ -251,6 +251,17 @@ class AggBuilder:
         self.max_dev_cap = int(
             os.environ.get("BFC_TPU_MAX_MERGE_CAP", str(1 << 22))
         )
+        # asymmetric top-of-tree merges (concat + lax.sort, no
+        # power-of-two total constraint) let ONE run grow past the
+        # equal-merge cap: an (8M, <=4M) merge is a <=12M-row sort,
+        # inside the compiler's working range where the equal-pad
+        # (8M, 8M) 16M-row network is not (round-5 probe).  Bench-scale
+        # aggregates (5-8M distinct) then stay device-resident and
+        # finalize on device - no spill, no tunnel pull.  0 disables.
+        self.max_top_cap = int(
+            os.environ.get("BFC_TPU_MAX_TOP_CAP",
+                           str(self.max_dev_cap * 2))
+        )
         from ..ops import spectrum_host as sph
         from ..ops.lsm import LsmTree
         from ..utils.keepalive import start_keepalive
@@ -278,8 +289,9 @@ class AggBuilder:
         # stream rides).  Production-default changes to this threshold
         # must be accepted by the fresh-process bench.py protocol, not
         # an in-session ladder (VERDICT r4 "weak" #1).
-        eager_min = int(os.environ.get("BFC_TPU_EAGER_MIN",
-                                       str(self.max_dev_cap)))
+        eager_min = int(os.environ.get(
+            "BFC_TPU_EAGER_MIN",
+            str(max(self.max_dev_cap, self.max_top_cap))))
         # incremental adjudication: per-Bloom-bit min-arrival folded in
         # span-by-span on the spill worker (spectrum_host.BloomMinSketch)
         # so finalize's verdict is a gather, not a sort of every probe
@@ -293,6 +305,7 @@ class AggBuilder:
             name="AggBuilder",
             size=lambda run: run[1],
             eager_min=eager_min if eager else 0,
+            prep=self._scatter_sketch,  # merge-worker: overlaps pulls
         )
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing
@@ -373,6 +386,17 @@ class AggBuilder:
                 _MERGE_EXE[self._key(cap)] = _MERGE_POOL.submit(
                     lambda c=cap: self._compile_cap(c)
                 )
+        # asym top merges: (top_cap, cap0 .. max_dev_cap)
+        top = self.max_top_cap
+        if top > max_cap:
+            for i in range(steps + 1):
+                cap = cap0 << i
+                if cap > max_cap:
+                    break
+                if self._key_asym(top, cap) not in _MERGE_EXE:
+                    _MERGE_EXE[self._key_asym(top, cap)] = _MERGE_POOL.submit(
+                        lambda a=top, b=cap: self._compile_asym(a, b)
+                    )
 
     def _compile_cap(self, cap: int):
         import jax
@@ -380,14 +404,58 @@ class AggBuilder:
         spec = [jax.ShapeDtypeStruct((cap,), jnp.uint32)] * self.n_planes
         return self.sdn.merge_runs.lower(spec, spec, n_id=self.n_id).compile()
 
+    def _key_asym(self, ca: int, cb: int):
+        return ("asym", ca, cb, self.n_planes, self.n_id)
+
+    def _compile_asym(self, ca: int, cb: int):
+        import jax
+
+        sa = [jax.ShapeDtypeStruct((ca,), jnp.uint32)] * self.n_planes
+        sb = [jax.ShapeDtypeStruct((cb,), jnp.uint32)] * self.n_planes
+        return self.sdn.merge_runs_sorted.lower(
+            sa, sb, n_id=self.n_id).compile()
+
+    def _merge_asym(self, a, b):
+        """Unequal-capacity merge (older span a first): concat+sort at
+        the runs' OWN capacities - see spectrum_dense.merge_runs_sorted."""
+        import time
+
+        pa, ca_n = a
+        pb, cb_n = b
+        ca, cb = pa[0].shape[0], pb[0].shape[0]
+        key = self._key_asym(ca, cb)
+        exe = _MERGE_EXE.get(key)
+        if exe is None:
+            exe = self._compile_asym(ca, cb)
+            _MERGE_EXE[key] = exe
+        elif hasattr(exe, "result"):
+            try:
+                exe = exe.result()
+            except Exception:
+                exe = self._compile_asym(ca, cb)
+            _MERGE_EXE[key] = exe
+        t0 = time.time()
+        planes, g = exe(list(pa), list(pb))
+        out = self._slice(planes, g)
+        import os
+
+        if os.environ.get("BFC_TPU_COUNT_DEBUG"):
+            log(f"asym merge ({ca},{cb}) ca={ca_n} cb={cb_n} -> {out[1]} "
+                f"in {time.time() - t0:.2f}s", func="AggBuilder")
+        return out
+
     await_ladder = staticmethod(await_merge_ladder)
 
     def _merge_bounded(self, a, b):
         """LsmTree merge callback: None when the merge would exceed the
         per-device HBM cap (the tree then spills to the host counter)."""
-        if max(a[0][0].shape[0], b[0][0].shape[0]) > self.max_dev_cap:
-            return None
-        return self._merge(a, b)
+        ca, cb = a[0][0].shape[0], b[0][0].shape[0]
+        big, small = max(ca, cb), min(ca, cb)
+        if big <= self.max_dev_cap:
+            return self._merge(a, b)
+        if big <= self.max_top_cap and small <= self.max_dev_cap:
+            return self._merge_asym(a, b)
+        return None
 
     def _merge(self, a, b):
         """Merge two (planes, count) runs; a must be the earlier span."""
@@ -453,7 +521,6 @@ class AggBuilder:
             ha = self.sdn.run_to_host_agg(
                 self._pull_run(planes, cnt), cnt, self.k, self.l_pre
             )
-        self._scatter_sketch(ha)
         return ha
 
     def _scatter_sketch(self, ha) -> None:
@@ -528,10 +595,24 @@ class AggBuilder:
             return self._attach_sketch(sph.empty_host_agg())
         planes, count = acc
         log(f"{count} distinct k-mers aggregated", func="AggBuilder")
+        import os
+
+        if os.environ.get("BFC_TPU_DEVICE_FINALIZE", "") != "0":
+            # no-spill fast path: the aggregate NEVER crosses the
+            # tunnel - finalize_spectrum adjudicates and builds the
+            # cuckoo table on device (the round-5 counting-tail fix:
+            # the final multi-10s pull + host sort/build disappear).
+            # BFC_TPU_DEVICE_FINALIZE=0 reverts to the host pull.
+            return self.sdn.run_to_aggregate(
+                tuple(planes), self.k, self.l_pre
+            )
         # the single device->host pull of the whole counting pass
-        # (packed layout; see _run_to_host)
-        return self._attach_sketch(
-            self._ensure_ret(self._run_to_host((planes, count))))
+        # (packed layout; see _run_to_host); the sketch fold normally
+        # rides the spill worker (LsmTree.prep) - this direct pull must
+        # fold it explicitly
+        ha = self._run_to_host((planes, count))
+        self._scatter_sketch(ha)
+        return self._attach_sketch(self._ensure_ret(ha))
 
     def _attach_sketch(self, ha):
         """Ride the converged sketch out on the final aggregate so
@@ -633,7 +714,13 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
     import os
 
     if host is None:
-        host = os.environ.get("BFC_TPU_DEVICE_FINALIZE", "0") != "1"
+        if isinstance(agg, spec.Aggregate):
+            # a device aggregate (no-spill fast path or the mesh path):
+            # pulling it to the host would put the tunnel back on the
+            # critical path - finalize on device
+            host = False
+        else:
+            host = os.environ.get("BFC_TPU_DEVICE_FINALIZE", "0") != "1"
     k = opt.k
     l_pre = opt.effective_l_pre()
     if host:
@@ -657,13 +744,62 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
         # the sketch is a host object, not a pytree leaf: strip it
         # before the jitted device finalize
         agg = agg._replace(bloom_min=None)
+    import time as _time
+
+    t0 = _time.time()
     shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
         agg, opt.bf_shift, opt.n_hashes
     )
+    kb_bits = kops.keybody_bits(k, l_pre)
+    # preferred layout: cuckoo, built ON DEVICE.  c_bits is static from
+    # the padded capacity (>= the host build's exact-n sizing; a bigger
+    # table never changes lookups, only HBM) so the program compiles
+    # once per capacity bucket.
+    # C is the padded capacity (a power of two >= kept n): 4*C slots
+    # keep the worst-case cuckoo load factor <= 0.25, and the device
+    # capacity is bounded by the merge cap so the table never exceeds
+    # ~2 x 128 MB planes (human-scale aggregates take the spill + host
+    # path with exact-n sizing)
+    C = int(shard.shape[0])
+    c_bits = max(8, C.bit_length() + 1, opt.predicted_c_bits())
+    if spec.cuckoo_ok(c_bits, l_pre, kb_bits):
+        lo, hi, ok = spec.cuckoo_build_device(
+            shard, keybody, payload, c_bits, l_pre, kb_bits
+        )
+        n = int(jnp.sum(keep))
+        if bool(ok):
+            pair = None
+            if spec.pair_probe_on():
+                pair = jnp.stack([lo, hi], axis=1).reshape(-1)
+            table = spec.CuckooTable(lo=lo, hi=hi, pair=pair)
+            hist_np = np.asarray(hist)
+            hh_np = np.asarray(hist_high)
+            t1 = _time.time()
+            TAIL_TIMINGS["adjudicate"] = round(t1 - t0, 2)
+            TAIL_TIMINGS["table"] = 0.0
+
+            def _pull_compact(shard=shard, keybody=keybody,
+                              payload=payload, keep=keep):
+                # lazy host copy for dump/tests: entries are already
+                # (shard, keybody)-sorted in the run
+                kp = np.asarray(keep)
+                sel = np.flatnonzero(kp)
+                return (np.asarray(shard)[sel],
+                        np.asarray(keybody)[sel],
+                        np.asarray(payload)[sel].astype(np.uint32))
+
+            log(f"# distinct k-mers in table: {n} "
+                f"(device finalize {t1 - t0:.1f}s, c_bits {c_bits})")
+            return DeviceSpectrum(
+                table, k, l_pre, c_bits, n, hist_np, hh_np,
+                _mode_from_hist(hist_np), compact=_pull_compact,
+                packed=False,
+            )
+        log(f"device cuckoo placement failed at c_bits {c_bits}; "
+            "falling back to the displacement build")
     n = int(jnp.sum(keep))
     s_bits = max(8, int(np.ceil(np.log2(n * 2 + 1))))
     margin = 4096
-    kb_bits = kops.keybody_bits(k, l_pre)
     table, n_dev, max_slot = spec.build_table(
         shard, keybody, payload, keep, s_bits, margin, l_pre, kb_bits
     )

@@ -55,11 +55,34 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
 
         res = corr.correct_many(bases, rawq, lens, has_q, text_of, batch_reads,
                                 as_arrays=True)
-        i0 = 0
-        # multi-host: non-emitting ranks carry dummy row matrices (see
-        # BatchResult.emit) - formatting them would be wasted host work
-        # on every added host, and their stdout is /dev/null anyway
-        if getattr(res, "emit", True):
+        import jax
+
+        H = jax.process_count()
+        if H > 1 and res is not None and not isinstance(res, list):
+            # multi-host emit scaling: every host FORMATS a contiguous
+            # slice of the window (the expensive per-record text work),
+            # then rank 0 stitches the byte segments in host order -
+            # the reference's ordered single writer (kthread.c:92-101)
+            # with the formatting fanned out across hosts
+            from ..io.writer import OutputWriter
+            from ..parallel.multihost import gather_segments
+
+            pid = jax.process_index()
+            lo = total * pid // H
+            hi = total * (pid + 1) // H
+            seg = OutputWriter(None)
+            i0 = 0
+            for rb in rbs:
+                a = max(lo - i0, 0)
+                b = min(hi - i0, rb.n)
+                if b > a and not _emit_rb_native(rb, i0, res, opt, seg,
+                                                 a, b):
+                    _emit_rb_python(rb, i0, res, opt, seg, a, b)
+                i0 += rb.n
+            for sb in gather_segments(seg.getbytes()):
+                out.write_bytes(sb)  # rank 0 writes; others got []
+        else:
+            i0 = 0
             for rb in rbs:
                 if res is None or isinstance(res, list):
                     _emit_rb_python(rb, i0, res, opt, out)
@@ -88,7 +111,8 @@ def correct_file_device(fn: str, opt: Opts, ds: DeviceSpectrum,
         process_window(buf)
 
 
-def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
+def _emit_rb_native(rb, w0: int, res, opt: Opts, out,
+                    a: int = 0, b: int = -1) -> bool:
     """Emit one ReadBatch's records via the native formatter
     (native/fastxio.c:fastx_format, the counterpart of the reference's
     output loop correct.c:596-611).  Requires the fast-parser offsets
@@ -103,14 +127,17 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
 
     import os
 
+    if b < 0:
+        b = rb.n
+    nr = b - a
     lib = get_lib()
-    if (lib is None or rb._strings is not None or rb.n == 0
+    if (lib is None or rb._strings is not None or nr == 0
             or not hasattr(out, "write_bytes")
             or os.environ.get("BFC_TPU_NO_NATIVE_WRITER")):
+        return nr == 0
+    if any(w0 + a <= i < w0 + b for i in res.exceptional):
         return False
-    if any(w0 <= i < w0 + rb.n for i in res.exceptional):
-        return False
-    sl = slice(w0, w0 + rb.n)
+    sl = slice(w0 + a, w0 + b)
     code = res.code[sl]
     is_fq = res.has_q[sl] & (not opt.no_qual)
     mode = np.where(code == 0, 0, 1).astype(np.uint8) | (
@@ -121,10 +148,10 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
     lens = np.ascontiguousarray(res.lens[sl], dtype=np.int32)
     if res.seq_rows.shape[1] < int(lens.max(initial=0)):
         return False  # row matrix narrower than a read: python path
-    name_off = np.ascontiguousarray(rb.name_off, dtype=np.int64)
-    name_len = np.ascontiguousarray(rb.name_len, dtype=np.int32)
-    seq_off = np.ascontiguousarray(rb.seq_off, dtype=np.int64)
-    qual_off = np.ascontiguousarray(rb.qual_off, dtype=np.int64)
+    name_off = np.ascontiguousarray(rb.name_off[a:b], dtype=np.int64)
+    name_len = np.ascontiguousarray(rb.name_len[a:b], dtype=np.int32)
+    seq_off = np.ascontiguousarray(rb.seq_off[a:b], dtype=np.int64)
+    qual_off = np.ascontiguousarray(rb.qual_off[a:b], dtype=np.int64)
     seq_rows = np.ascontiguousarray(res.seq_rows[sl])
     qual_rows = np.ascontiguousarray(res.qual_rows[sl])
     aux = np.ascontiguousarray(res.aux[sl])
@@ -136,7 +163,7 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
         return arr.ctypes.data_as(ctypes.POINTER(ct))
 
     ret = lib.fastx_format(
-        rb.n, rb.buf,
+        nr, rb.buf,
         p(name_off, ctypes.c_int64), p(name_len, ctypes.c_int32),
         p(seq_off, ctypes.c_int64), p(qual_off, ctypes.c_int64),
         p(seq_rows, ctypes.c_ubyte), p(qual_rows, ctypes.c_ubyte),
@@ -152,9 +179,12 @@ def _emit_rb_native(rb, w0: int, res, opt: Opts, out) -> bool:
     return True
 
 
-def _emit_rb_python(rb, w0: int, res, opt: Opts, out) -> None:
+def _emit_rb_python(rb, w0: int, res, opt: Opts, out,
+                    a: int = 0, b: int = -1) -> None:
     """Per-read emit path (slow-parser batches and fallback reads)."""
-    for i in range(rb.n):
+    if b < 0:
+        b = rb.n
+    for i in range(a, b):
         st, s2, q2 = (
             res[w0 + i] if isinstance(res, list) else res.tuple_of(w0 + i)
         )

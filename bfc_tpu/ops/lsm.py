@@ -62,7 +62,7 @@ class LsmTree:
     def __init__(self, merge: Callable, to_host: Callable,
                  host_merge: Callable, async_spill: bool = False,
                  name: str = "LsmTree", size: Callable = None,
-                 eager_min: int = 0):
+                 eager_min: int = 0, prep: Callable = None):
         import time
 
         def timed(f, key):
@@ -78,6 +78,10 @@ class LsmTree:
         self.merge = merge
         self.to_host = timed(to_host, "pull")
         self.host_merge = timed(host_merge, "host_merge")
+        # per-span host hook (e.g. the incremental-adjudication sketch
+        # fold): runs on the MERGE worker, so it overlaps the pull
+        # worker's next tunnel transfer instead of serializing with it
+        self.prep = timed(prep, "prep") if prep is not None else None
         self.async_spill = async_spill
         self.name = name
         self.size = size
@@ -126,6 +130,8 @@ class LsmTree:
                 self._q2.task_done()
                 return
             try:
+                if self.prep is not None:
+                    self.prep(ha)
                 self._host_push(ha)
             except BaseException as e:
                 self._err = e
@@ -134,7 +140,10 @@ class LsmTree:
 
     def _spill_item(self, run) -> None:
         if not self.async_spill:
-            self._host_push(self.to_host(run))
+            ha = self.to_host(run)
+            if self.prep is not None:
+                self.prep(ha)
+            self._host_push(ha)
             return
         import queue
         import threading

@@ -538,6 +538,70 @@ def cuckoo_build_local(shard, keybody, payload, c_bits: int, cb_local: int,
     return entries, ok
 
 
+@functools.partial(jax.jit, static_argnames=("c_bits", "l_pre", "kb_bits",
+                                              "max_rounds"))
+def cuckoo_build_device(shard, keybody, payload, c_bits: int, l_pre: int,
+                        kb_bits: int, max_rounds: int = 256):
+    """Single full-size cuckoo table built ON DEVICE (the no-spill
+    counting fast path): the device twin of build_cuckoo_table_host,
+    with the SAME alternate-slot hash as cuckoo_lookup/cuckoo_lookup32
+    (cuckoo_alt_u64) so lookups match the host-built table bit-for-bit.
+    Placement order differs from the host build (random-walk with
+    scatter-max winners, like cuckoo_build_local) - layout-only, never
+    output-visible.  Padding rows have payload == 0.  Returns
+    (lo u32 [S], hi u32 [S], ok)."""
+    assert c_bits <= 31
+    S = 1 << c_bits
+    n = shard.shape[0]
+    valid = payload != 0
+    pk = posk64(shard, keybody, l_pre, kb_bits)
+    s1 = (pk >> U64(64 - c_bits)).astype(jnp.int32)
+    qlow = _id_low(shard, keybody, l_pre, kb_bits, c_bits)
+    alt = cuckoo_alt_u64(qlow, c_bits).astype(jnp.int32)
+    s2 = s1 ^ alt
+    ids = jnp.arange(n, dtype=jnp.int32)
+    idb = max(int(n).bit_length(), 1)
+    idmask = U64((1 << (idb + 1)) - 1)
+    ids_u = ids.astype(U64) + U64(1)
+
+    def pending(occupant, cur):
+        return valid & (occupant[cur] != ids)
+
+    def cond(state):
+        occupant, cur, pref, rnd = state
+        return jnp.any(pending(occupant, cur)) & (rnd < max_rounds)
+
+    def body(state):
+        occupant, cur, pref, rnd = state
+        pend = pending(occupant, cur)
+        prio = (ids.astype(U64) + U64(0x9E3779B97F4A7C15)) * (
+            rnd.astype(U64) * U64(2) + U64(0xBF58476D1CE4E5B9)
+        )
+        wval = ((prio >> U64(idb + 1)) << U64(idb + 1)) | ids_u
+        claim = jnp.zeros((S,), U64).at[
+            jnp.where(pend, cur, S)
+        ].max(wval, mode="drop")
+        won = (claim & idmask).astype(jnp.int32) - 1
+        occupant = jnp.where(claim > 0, won, occupant)
+        pend2 = pending(occupant, cur)
+        pref = pref ^ pend2.astype(jnp.int32)
+        cur = jnp.where(pend2, jnp.where(pref == 0, s1, s2), cur)
+        return occupant, cur, pref, rnd + 1
+
+    init = (jnp.full((S,), -1, jnp.int32), s1,
+            jnp.zeros((n,), jnp.int32), jnp.zeros((), jnp.int32))
+    occupant, cur, pref, _ = jax.lax.while_loop(cond, body, init)
+    placed = valid & (occupant[cur] == ids)
+    ok = ~jnp.any(valid & ~placed)
+    entry = (qlow << U64(15)) | (pref.astype(U64) << U64(14)) | payload.astype(U64)
+    entries = jnp.zeros((S,), U64).at[
+        jnp.where(placed, cur, S)
+    ].set(entry, mode="drop")
+    lo = (entries & U64(0xFFFFFFFF)).astype(U32)
+    hi = (entries >> U64(32)).astype(U32)
+    return lo, hi, ok
+
+
 _CUCKOO_GOLD = U64(0x9E3779B97F4A7C15)
 
 # CuckooTable alternate-slot hash for c_bits <= 32: a pure-u32 mix of

@@ -195,6 +195,28 @@ def merge_runs(planes_a: Sequence[jax.Array], planes_b: Sequence[jax.Array],
     return _combine_sorted(merged, n_id)
 
 
+@functools.partial(jax.jit, static_argnames=("n_id",))
+def merge_runs_sorted(planes_a: Sequence[jax.Array],
+                      planes_b: Sequence[jax.Array], n_id: int):
+    """Asymmetric merge: concat + multi-operand u32 lax.sort + combine.
+
+    The bitonic merge needs a power-of-two TOTAL, so the equal-pad
+    driver path pads both runs to the larger capacity - and the
+    resulting 16M-row network is past the remote compiler's limit
+    (round-5 probe: the (8M, 8M) merge crashes tpu_compile_helper).
+    Sorting the raw concat instead has no shape constraint: an
+    (8M, 1M) merge is a 9M-row sort, well inside the working range,
+    which lets the top-of-tree run grow past the equal-merge cap
+    WITHOUT spilling the aggregate to the host.  Keys include the
+    arrival planes, so ordering is deterministic regardless of sort
+    stability and the first element of each group stays the earliest
+    occurrence (the _segment_combine precondition)."""
+    nk = n_id + 2
+    cat = [jnp.concatenate([a, b]) for a, b in zip(planes_a, planes_b)]
+    srt = jax.lax.sort(tuple(cat), num_keys=nk)
+    return _combine_sorted(list(srt), n_id)
+
+
 def pad_run(planes, cap: int):
     """Pad a run's planes with all-ones rows up to cap (host-side driver
     helper; eager device concat)."""

@@ -162,3 +162,30 @@ def _main(argv: List[str]) -> int:
 
 if __name__ == "__main__":
     sys.exit(_main(sys.argv[1:]))
+
+
+def gather_segments(seg: bytes):
+    """All-to-rank-0 exchange of per-host formatted byte segments.
+
+    Every host calls this with its window slice's bytes (a collective:
+    all ranks must participate).  Returns the segments in host order on
+    rank 0 and [] elsewhere.  Two process_allgathers: exact lengths,
+    then the payload padded to the global max (device collectives are
+    fixed-shape)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    H = jax.process_count()
+    if H == 1:
+        return [seg]
+    n = np.array([len(seg)], np.int64)
+    lens = np.asarray(mhu.process_allgather(n)).reshape(-1)
+    m = max(int(lens.max()), 1)
+    pad = np.zeros((m,), np.uint8)
+    pad[: len(seg)] = np.frombuffer(seg, np.uint8)
+    allb = np.asarray(mhu.process_allgather(pad))
+    if jax.process_index() != 0:
+        return []
+    allb = allb.reshape(H, m)
+    return [allb[h, : int(lens[h])].tobytes() for h in range(H)]
