@@ -747,9 +747,18 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
     import time as _time
 
     t0 = _time.time()
-    shard, keybody, payload, keep, hist, hist_high = spec.finalize_counts(
-        agg, opt.bf_shift, opt.n_hashes
-    )
+    # adjudicate: sort-free sketch whenever every first arrival fits
+    # u32 (checked against the aggregate itself - a tiny reduce).  The
+    # sort-based path stays for the over-u32 case, but streams that big
+    # spill to the host tree and finalize there anyway.
+    valid_a = agg.shard != spec.INVALID_SHARD
+    arr_max = int(jnp.max(jnp.where(valid_a, agg.first_arr, 0)))
+    if arr_max < 0xFFFFFFFF:
+        fp = spec.adjudicate_sketch(agg, opt.bf_shift, opt.n_hashes)
+    else:
+        fp = spec.adjudicate_first_occurrence(agg, opt.bf_shift,
+                                              opt.n_hashes)
+    shard, keybody, payload, keep, hist, hist_high =         spec.finalize_counts_fp(agg, fp)
     kb_bits = kops.keybody_bits(k, l_pre)
     # preferred layout: cuckoo, built ON DEVICE.  c_bits is static from
     # the padded capacity (>= the host build's exact-n sizing; a bigger

@@ -76,10 +76,19 @@ def _bloom_query(words, rets, bf_shift: int, n_hashes: int):
     return jnp.all(got == 1, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
-def filter_keep_rets(agg: spec.Aggregate, bf_shift: int, n_hashes: int):
-    """Hashes that would enter bf_high: >= 1 Bloom-hit occurrence."""
-    fp = spec.adjudicate_first_occurrence(agg, bf_shift, n_hashes)
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes",
+                                              "sketch"))
+def filter_keep_rets(agg: spec.Aggregate, bf_shift: int, n_hashes: int,
+                     sketch: bool = False):
+    """Hashes that would enter bf_high: >= 1 Bloom-hit occurrence.
+
+    sketch=True uses the sort-free dense-sketch adjudicate (exact while
+    first arrivals fit u32; the caller checks) - the sort program does
+    not compile at device-resident big-C aggregates."""
+    if sketch:
+        fp = spec.adjudicate_sketch(agg, bf_shift, n_hashes)
+    else:
+        fp = spec.adjudicate_first_occurrence(agg, bf_shift, n_hashes)
     valid = agg.shard != spec.INVALID_SHARD
     keep = valid & ((agg.n - 1 + fp.astype(jnp.uint32)) >= 1)
     return agg.ret, keep
@@ -112,7 +121,13 @@ def count_file_filter_device(fn: str, opt: Opts, batch_reads: int = 8192) -> Dev
     else:
         if sketch is not None:  # host object, not a pytree leaf: strip
             agg = agg._replace(bloom_min=None)
-        rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes)
+        # device reduce (a scalar pull), NOT np.asarray of the column -
+        # that would drag the whole aggregate over the tunnel
+        valid_a = jnp.asarray(agg.shard) != jnp.uint32(0xFFFFFFFF)
+        arr_max = int(jnp.max(jnp.where(valid_a, jnp.asarray(agg.first_arr),
+                                        jnp.uint64(0))))
+        rets, keep = filter_keep_rets(agg, opt.bf_shift, opt.n_hashes,
+                                      sketch=arr_max < 0xFFFFFFFF)
     log(f"processed {n_reads} sequences (filter mode)")
     return DeviceBloom.from_rets(rets, keep, opt.bf_shift, opt.n_hashes)
 

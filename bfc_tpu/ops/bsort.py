@@ -153,7 +153,11 @@ def compact_planes(planes: Sequence[jax.Array], valid: jax.Array,
     get `fill` values (default all-ones).  Returns (planes, count)."""
     planes = list(planes)
     N = planes[0].shape[0]
-    assert N & (N - 1) == 0
+    # any N works: the passes are shift+where (no pow2 reshapes), and
+    # while b < N covers every bit of d (d <= N, and the top bit of any
+    # d < 2*floor_pow2(N) is reached since floor_pow2(N) < N for the
+    # non-pow2 case) - needed by the asymmetric sorted merges, whose
+    # concatenated capacity (e.g. 8M + 1M) is not a power of two
     if fill is None:
         fill = [0xFFFFFFFF] * len(planes)
     # d_i = number of dropped records strictly before i (non-decreasing,

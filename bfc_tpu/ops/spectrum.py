@@ -565,7 +565,10 @@ def cuckoo_build_device(shard, keybody, payload, c_bits: int, l_pre: int,
     ids_u = ids.astype(U64) + U64(1)
 
     def pending(occupant, cur):
-        return valid & (occupant[cur] != ids)
+        # unsigned gather indices: signed i32 indexing injects the
+        # x64 negative-wrap chain that serializes the gather (PLAN.md
+        # round-4 gather rule); cur is always in [0, S)
+        return valid & (occupant[cur.astype(U32)] != ids)
 
     def cond(state):
         occupant, cur, pref, rnd = state
@@ -591,7 +594,7 @@ def cuckoo_build_device(shard, keybody, payload, c_bits: int, l_pre: int,
     init = (jnp.full((S,), -1, jnp.int32), s1,
             jnp.zeros((n,), jnp.int32), jnp.zeros((), jnp.int32))
     occupant, cur, pref, _ = jax.lax.while_loop(cond, body, init)
-    placed = valid & (occupant[cur] == ids)
+    placed = valid & (occupant[cur.astype(U32)] == ids)
     ok = ~jnp.any(valid & ~placed)
     entry = (qlow << U64(15)) | (pref.astype(U64) << U64(14)) | payload.astype(U64)
     entries = jnp.zeros((S,), U64).at[
@@ -836,6 +839,52 @@ def packed_lookup(table: PackedTable, q_shard, q_keybody, s_bits: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+@functools.partial(jax.jit, static_argnames=("bf_shift", "n_hashes"))
+def adjudicate_sketch(agg: Aggregate, bf_shift: int, n_hashes: int):
+    """Sort-free first-occurrence adjudication (device sketch).
+
+    Dense per-Bloom-bit minimum-arrival table (the device twin of
+    spectrum_host.BloomMinSketch, inverted storage: dense = ~min_arr,
+    0 = never probed) - one scatter-max + one u32 gather instead of the
+    (bit, arrival) sort, whose 4C*log passes blow past the remote
+    compiler's limits at C = 8M (round-5: SIGKILLed compile).  EXACT
+    only while every first arrival fits u32 (the caller checks the
+    stream's arrival ceiling and falls back to the sort)."""
+    C = agg.shard.shape[0]
+    valid = agg.shard != INVALID_SHARD
+    bits = bloom_probe_bits(agg.ret, bf_shift, n_hashes)  # u64 [C,H]
+    bits32 = bits.astype(U32)  # bit ids < 2^bf_shift <= 2^32
+    inv = ~agg.first_arr.astype(U32)  # ~arr: min(arr) == ~max(~arr)
+    upd = jnp.where(valid, inv, U32(0))
+    dense = jnp.zeros((1 << bf_shift,), U32).at[bits32.reshape(-1)].max(
+        jnp.broadcast_to(upd[:, None], (C, n_hashes)).reshape(-1)
+    )
+    got = dense[bits32]  # u32 table + u32 indices: the parallel path
+    was_set = got > inv[:, None]  # min_arr < own arr (0 unset is never >)
+    return jnp.all(was_set, axis=-1) & valid
+
+
+@functools.partial(jax.jit, static_argnames=())
+def finalize_counts_fp(agg: Aggregate, fp):
+    """Payload/keep/histogram computation given the adjudication
+    verdict (split out so the big-C device finalize composes from
+    small programs; semantics documented at finalize_counts)."""
+    fp = fp.astype(U32)
+    valid = agg.shard != INVALID_SHARD
+    m = agg.n - 1 + fp
+    high = agg.n_high - (1 - fp) * agg.first_high
+    keep = valid & (m >= 1)
+    count = jnp.minimum(m, 255)
+    high = jnp.minimum(high, 63)
+    payload = jnp.where(keep, count | (high << 8), U32(0))
+    shard = jnp.where(keep, agg.shard, INVALID_SHARD)
+    hist = jnp.bincount(jnp.where(keep, count, U32(0)), length=256)
+    hist = hist.at[0].set(0)
+    hist_high = jnp.bincount(jnp.where(keep, high, U32(0)), length=64)
+    hist_high = hist_high.at[0].set(jnp.sum(keep & (high == 0)))
+    return shard, agg.keybody, payload, keep, hist, hist_high
+
+
 def finalize_counts(agg: Aggregate, bf_shift: int, n_hashes: int):
     """Compute reference-exact payloads for every distinct k-mer.
 
