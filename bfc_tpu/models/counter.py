@@ -597,12 +597,13 @@ class AggBuilder:
         log(f"{count} distinct k-mers aggregated", func="AggBuilder")
         import os
 
-        if os.environ.get("BFC_TPU_DEVICE_FINALIZE", "") != "0":
-            # no-spill fast path: the aggregate NEVER crosses the
-            # tunnel - finalize_spectrum adjudicates and builds the
-            # cuckoo table on device (the round-5 counting-tail fix:
-            # the final multi-10s pull + host sort/build disappear).
-            # BFC_TPU_DEVICE_FINALIZE=0 reverts to the host pull.
+        if os.environ.get("BFC_TPU_DEVICE_FINALIZE", "0") == "1":
+            # keep the aggregate on device and finalize there.  Measured
+            # r5d (v5e, C=8M): the device cuckoo build's serialized
+            # scatters cost 10-13 s, so the HOST finalize below wins
+            # (one 83 MB packed pull at ~40 MB/s + sketch-verdict
+            # adjudicate 0.7 s + host build 0.3 s); device finalize
+            # stays available for pull-starved environments.
             return self.sdn.run_to_aggregate(
                 tuple(planes), self.k, self.l_pre
             )
@@ -753,12 +754,22 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
     # spill to the host tree and finalize there anyway.
     valid_a = agg.shard != spec.INVALID_SHARD
     arr_max = int(jnp.max(jnp.where(valid_a, agg.first_arr, 0)))
+    TAIL_TIMINGS["dev_fin"] = _dt = {}
+    _dt["agg_sync"] = round(_time.time() - t0, 2)
+    _t1 = _time.time()
     if arr_max < 0xFFFFFFFF:
         fp = spec.adjudicate_sketch(agg, opt.bf_shift, opt.n_hashes)
     else:
         fp = spec.adjudicate_first_occurrence(agg, opt.bf_shift,
                                               opt.n_hashes)
-    shard, keybody, payload, keep, hist, hist_high =         spec.finalize_counts_fp(agg, fp)
+    jax.block_until_ready(fp)
+    _dt["sketch"] = round(_time.time() - _t1, 2)
+    _t1 = _time.time()
+    (shard, keybody, payload, keep, hist,
+     hist_high) = spec.finalize_counts_fp(agg, fp)
+    jax.block_until_ready(payload)
+    _dt["fp"] = round(_time.time() - _t1, 2)
+    _t1 = _time.time()
     kb_bits = kops.keybody_bits(k, l_pre)
     # preferred layout: cuckoo, built ON DEVICE.  c_bits is static from
     # the padded capacity (>= the host build's exact-n sizing; a bigger
@@ -776,6 +787,7 @@ def finalize_spectrum(agg, opt: Opts, host: bool = None) -> DeviceSpectrum:
             shard, keybody, payload, c_bits, l_pre, kb_bits
         )
         n = int(jnp.sum(keep))
+        _dt["build"] = round(_time.time() - _t1, 2)
         if bool(ok):
             pair = None
             if spec.pair_probe_on():
