@@ -202,6 +202,17 @@ def main() -> int:
     # compile in parallel threads
     corr.prewarm(batch, read_len=rlen)
     sys.stderr.write(f"[bench] correction warm-up (compile): {time.time() - t0:.1f}s\n")
+    # one untimed FULL-size pass, for the same reason as counting's:
+    # the first pass of a process pays first-touch page faults on the
+    # multi-MB host result buffers (measured 18.8 s then 13.9 s on
+    # identical data, r5b); production streams amortize this to zero
+    t0 = time.time()
+    corr.correct_many(
+        mat[:n_use], qmat[:n_use], lens_all, has_q, lambda i: reads[i],
+        batch, bucketed=os.environ.get("BENCH_BUCKETED", "1") == "1",
+        as_arrays=True,
+    )
+    sys.stderr.write(f"[bench] correction warm-up (pass): {time.time() - t0:.1f}s\n")
 
     # ---- correction pass (timed)
     t0 = time.time()

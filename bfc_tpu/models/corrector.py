@@ -792,10 +792,14 @@ class Corrector:
                         # raise the cap when stragglers exceed ~10%; never
                         # decay - batches arrive easy-to-hard (difficulty
                         # bucketing), so a cap that was enough for an easy
-                        # batch underestimates the next one
+                        # batch underestimates the next one.
+                        # BFC_TPU_SOFT_ESC=0 pins the cap (probe knob:
+                        # with state-resume the escalation is no longer
+                        # load-bearing for correctness or completion)
                         frac = (len(br.requeue) + len(br.requeue_resume)
                                 ) / max(br.n, 1)
-                        if frac > 0.10:
+                        if frac > 0.10 and os.environ.get(
+                                "BFC_TPU_SOFT_ESC", "1") == "1":
                             self._soft_cap = min(
                                 self._soft_cap * 2, self.cfg.iter_cap
                             )

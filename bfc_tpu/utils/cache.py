@@ -43,12 +43,25 @@ def scoped_cache_dir(platform_str: str, base: str | None = None) -> str:
 
 
 def apply_cache_dir(platform_str: str) -> None:
-    """Point jax's persistent cache at the scope for platform_str."""
+    """Point jax's persistent cache at the scope for platform_str.
+
+    Virtual-mesh CPU runs (xla_force_host_platform_device_count set:
+    the multi-chip dryrun and the test suite) get NO persistent cache:
+    XLA:CPU AOT entries embed compile-preference pseudo-features
+    (+prefer-no-scatter/-gather) that the loader compares against real
+    host CPU flags, spewing SIGILL-hazard warnings even for same-host
+    reloads - and CPU compiles are cheap enough that correctness of
+    the log wins (MULTICHIP_r04 noise; VERDICT r4 #9)."""
     if os.environ.get("BFC_TPU_JAX_CACHE", None) == "":
         return  # explicitly disabled
     import jax
 
     try:
+        if ("cpu" in (platform_str or "")
+                and "xla_force_host_platform_device_count"
+                in os.environ.get("XLA_FLAGS", "")):
+            jax.config.update("jax_compilation_cache_dir", None)
+            return
         jax.config.update(
             "jax_compilation_cache_dir", scoped_cache_dir(platform_str)
         )
