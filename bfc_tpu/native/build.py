@@ -82,6 +82,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_int,
         ]
+        lib.bloom_replay_verdict_u64.restype = None
+        lib.bloom_replay_verdict_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         lib.bloom_gather_verdict_inv_u32.restype = None
         lib.bloom_gather_verdict_inv_u32.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),

@@ -341,3 +341,52 @@ void bloom_gather_verdict_inv_u32(const uint32_t *dense,
         out[i] = ok;
     }
 }
+
+/* Arrival-ordered Bloom bit-array replay: exact first-occurrence
+ * verdicts with ONE BIT per Bloom slot instead of the 4-byte
+ * min-arrival sketch (64 GiB at bf_shift=34) or the probe sort (the
+ * single-host human-scale finalize wall, 738 s at 1.1 B probe keys).
+ * order[] visits rows by ascending first arrival (unique per row: a
+ * first occurrence owns its stream slot); for each row compute its
+ * n_hashes probe bits (bbf.c:27-37 addressing, identical to
+ * bloom_probe_bits_np incl. the z<8 skip walk and the h2&31 fixup),
+ * report whether ALL bits were set by EARLIER rows (query-all first,
+ * matching the sort adjudicate's min<own semantics even when a row's
+ * own probe bits collide), then set them. */
+void bloom_replay_verdict_u64(const uint64_t *ret, const int64_t *order,
+                              long n, int bf_shift, int h,
+                              uint64_t *bitarr, unsigned char *out)
+{
+    int x = bf_shift - 9;
+    uint64_t xmask = (((uint64_t)1) << x) - 1;
+    uint64_t bits[64];
+    long ii;
+    int j, cnt;
+    for (ii = 0; ii < n; ii++) {
+        long i = (long)order[ii];
+        uint64_t r = ret[i];
+        uint64_t block = r & xmask;
+        uint64_t h1 = (r >> x) & 511;
+        uint64_t h2 = (r >> bf_shift) & 511;
+        uint64_t base = block << 9;
+        uint64_t z;
+        unsigned char allset = 1;
+        if ((h2 & 31) == 0) h2 = (h2 + 1) & 511;
+        z = h1;
+        cnt = 0;
+        while (cnt < h) {
+            if (z >= 8) bits[cnt++] = base | z;
+            z = (z + h2) & 511;
+        }
+        for (j = 0; j < h; j++) {
+            uint64_t b = bits[j];
+            if (!(bitarr[b >> 6] & (((uint64_t)1) << (b & 63))))
+                allset = 0;
+        }
+        for (j = 0; j < h; j++) {
+            uint64_t b = bits[j];
+            bitarr[b >> 6] |= ((uint64_t)1) << (b & 63);
+        }
+        out[i] = allset;
+    }
+}

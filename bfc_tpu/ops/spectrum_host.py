@@ -182,6 +182,42 @@ def bloom_probe_bits_np(ret: np.ndarray, bf_shift: int, n_hashes: int) -> np.nda
     return (block[:, None] << np.uint64(BFC_BLK_SHIFT)) | out
 
 
+def adjudicate_replay_np(ret: np.ndarray, first_arr: np.ndarray,
+                         valid: np.ndarray, bf_shift: int,
+                         n_hashes: int):
+    """Arrival-ordered Bloom bit-array replay (C kernel): exact
+    first-occurrence verdicts with 2^(bf_shift-3) BYTES of state - the
+    human-scale adjudicate (bf_shift 33-34) where the min-arrival
+    sketch's 4-bytes-per-bit table would be 32-64 GiB and the probe
+    sort was the 738 s single-host finalize wall (round-3 rehearsal).
+    Cost: one argsort of first_arr (unique: each first occurrence owns
+    its stream slot) + one sequential C pass.  Returns None when the
+    native library is unavailable (caller falls back to the sort)."""
+    from ..native.build import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    C = len(ret)
+    out = np.zeros((C,), np.uint8)
+    if C == 0:
+        return out.astype(bool)
+    sel = np.flatnonzero(valid)
+    order = sel[np.argsort(first_arr[sel], kind="stable")].astype(np.int64)
+    bitarr = np.zeros((1 << max(bf_shift - 6, 0),), np.uint64)
+    retc = np.ascontiguousarray(ret)
+    lib.bloom_replay_verdict_u64(
+        retc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(order), bf_shift, n_hashes,
+        bitarr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out.astype(bool) & valid
+
+
 def adjudicate_np(ret: np.ndarray, first_arr: np.ndarray, valid: np.ndarray,
                   bf_shift: int, n_hashes: int) -> np.ndarray:
     """First-occurrence Bloom-hit verdicts (order-exact, vectorized).
@@ -593,7 +629,18 @@ def finalize_host(agg, bf_shift: int, n_hashes: int, k: int = None,
         # during the stream; the verdict is one gather (see BloomMinSketch)
         fp = sketch.verdict(ret, first_arr, valid).astype(np.uint32)
     else:
-        fp = adjudicate_np(ret, first_arr, valid, bf_shift, n_hashes).astype(np.uint32)
+        import os as _os
+
+        fp = None
+        if len(ret) >= int(_os.environ.get("BFC_TPU_REPLAY_MIN",
+                                           str(1 << 25))):
+            # big aggregates: the bit-array replay beats the probe sort
+            # ~5x and uses 1 bit per Bloom slot (human-scale finalize)
+            fp = adjudicate_replay_np(ret, first_arr, valid, bf_shift,
+                                      n_hashes)
+        if fp is None:
+            fp = adjudicate_np(ret, first_arr, valid, bf_shift, n_hashes)
+        fp = fp.astype(np.uint32)
     m = n - 1 + fp
     high = n_high - (1 - fp) * first_high
     keep = valid & (m >= 1)

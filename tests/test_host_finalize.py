@@ -77,3 +77,19 @@ def test_incremental_sketch_vs_sort_adjudicate(monkeypatch):
     off_out = sph.finalize_host(agg0, opt.bf_shift, opt.n_hashes)
     for a, b in zip(off_out, sort_out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_replay_adjudicate_matches_sort():
+    """The C bit-array replay (human-scale adjudicate) == the sort."""
+    import numpy as np
+
+    from bfc_tpu.ops import spectrum_host as sph
+
+    rng = np.random.default_rng(99)
+    for bf_shift, H, C in ((18, 4, 120000), (14, 3, 40000)):
+        ret = rng.integers(0, 1 << 63, C, dtype=np.uint64)
+        arr = rng.permutation(C).astype(np.uint64) * 3
+        valid = rng.random(C) < 0.9
+        want = sph.adjudicate_np(ret, arr, valid, bf_shift, H)
+        got = sph.adjudicate_replay_np(ret, arr, valid, bf_shift, H)
+        assert got is not None and (got == want).all()
