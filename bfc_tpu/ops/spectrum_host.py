@@ -204,17 +204,43 @@ def adjudicate_replay_np(ret: np.ndarray, first_arr: np.ndarray,
     out = np.zeros((C,), np.uint8)
     if C == 0:
         return out.astype(bool)
-    sel = np.flatnonzero(valid)
-    order = sel[np.argsort(first_arr[sel], kind="stable")].astype(np.int64)
-    bitarr = np.zeros((1 << max(bf_shift - 6, 0),), np.uint64)
     retc = np.ascontiguousarray(ret)
-    lib.bloom_replay_verdict_u64(
-        retc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(order), bf_shift, n_hashes,
-        bitarr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-    )
+    bitarr = np.zeros((1 << max(bf_shift - 6, 0),), np.uint64)
+
+    def replay(order):
+        lib.bloom_replay_verdict_u64(
+            retc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(order), bf_shift, n_hashes,
+            bitarr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+
+    # all n_hashes bits of a row live in ONE 512-bit Bloom block
+    # (bit = block<<9 | z), so block-prefix partitions of the rows are
+    # fully independent: replay them in parallel, each in its own
+    # arrival order, over disjoint word ranges of the shared bit array
+    import os as _os
+
+    x = bf_shift - BFC_BLK_SHIFT
+    nth = min(4, _os.cpu_count() or 1)
+    if C >= (1 << 22) and nth > 1 and x >= 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pb = 2
+        pref = (retc & np.uint64((1 << x) - 1)) >> np.uint64(x - pb)
+
+        def part(b):
+            sel = np.flatnonzero(valid & (pref == b))
+            order = sel[np.argsort(first_arr[sel], kind="stable")]
+            replay(order.astype(np.int64))
+
+        with ThreadPoolExecutor(max_workers=nth) as pool:
+            list(pool.map(part, range(1 << pb)))
+    else:
+        sel = np.flatnonzero(valid)
+        order = sel[np.argsort(first_arr[sel], kind="stable")]
+        replay(order.astype(np.int64))
     return out.astype(bool) & valid
 
 
