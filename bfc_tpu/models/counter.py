@@ -306,6 +306,7 @@ class AggBuilder:
             size=lambda run: run[1],
             eager_min=eager_min if eager else 0,
             prep=self._scatter_sketch,  # merge-worker: overlaps pulls
+            eager_min_after=self.max_dev_cap if eager else 0,
         )
         # merge-executable cache: the cap ladder (cap0, 2*cap0, ...) is
         # compiled ahead of need in background threads, so the growing

@@ -62,7 +62,8 @@ class LsmTree:
     def __init__(self, merge: Callable, to_host: Callable,
                  host_merge: Callable, async_spill: bool = False,
                  name: str = "LsmTree", size: Callable = None,
-                 eager_min: int = 0, prep: Callable = None):
+                 eager_min: int = 0, prep: Callable = None,
+                 eager_min_after: int = 0):
         import time
 
         def timed(f, key):
@@ -86,6 +87,13 @@ class LsmTree:
         self.name = name
         self.size = size
         self.eager_min = eager_min
+        # once a forced drain happens, the stream is provably larger
+        # than the device tree: drop the eager threshold so every later
+        # big span spills asynchronously behind the stream instead of
+        # the next stop-the-world _spill_all (measured: a 10M-read
+        # rehearsal stalled 127 s per drain).  Streams that never drain
+        # (bench scale fits on device) are unaffected.
+        self.eager_min_after = eager_min_after
         self.levels: List = []       # device binary counter
         self.host_levels: List = []  # host binary counter (HostAggs)
         self._q = None               # runs -> pull worker
@@ -184,6 +192,10 @@ class LsmTree:
                 self.levels[j] = None
         if run is not None:
             self._spill_item(run)
+        if self.eager_min_after and self.eager_min > self.eager_min_after:
+            self.eager_min = self.eager_min_after
+            log(f"eager-spill threshold -> {self.eager_min} rows "
+                "(stream exceeds the device tree)", func=self.name)
         log(f"spilled device counter to host in {time.time()-t0:.1f}s",
             func=self.name)
 
